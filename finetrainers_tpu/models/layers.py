@@ -1,0 +1,273 @@
+"""Shared flax building blocks for the DiT model zoo.
+
+TPU-first notes:
+  - All matmul-bearing layers keep a bf16 compute path with fp32 norm statistics
+    (matches the reference's fp32-safe RMSNorm patch, reference
+    `patches/dependencies/diffusers/rms_norm.py:7`).
+  - LoRA lives directly in the param pytree as `lora_a`/`lora_b` leaves of
+    `LoRADense` (reference injects peft adapters; here trainability is a path
+    predicate over the pytree — see trainer._prepare_trainable_parameters).
+  - Attention goes through `ops.attention_dispatch` explicitly (the reference
+    monkey-patches torch SDPA; we own the forward).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention_dispatch
+
+
+def is_lora_param(path: Tuple) -> bool:
+    """Path predicate selecting LoRA leaves in a param pytree."""
+    keys = [getattr(p, "key", getattr(p, "idx", str(p))) for p in path]
+    return any(str(k) in ("lora_a", "lora_b") for k in keys)
+
+
+class LoRADense(nn.Module):
+    """Dense layer with optional fused LoRA path: y = xW + b + (alpha/r)·(xA)B.
+
+    rank=0 disables LoRA (pure Dense). The LoRA branch computes (xA)B separately
+    (never materializes W + BA), keeping the base matmul on the MXU at full size
+    and the LoRA matmuls skinny.
+    """
+
+    features: int
+    use_bias: bool = True
+    rank: int = 0
+    alpha: float = 1.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (in_features, self.features), self.param_dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        if self.rank > 0:
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(1.0 / max(self.rank, 1)), (in_features, self.rank), self.param_dtype
+            )
+            lora_b = self.param("lora_b", nn.initializers.zeros_init(), (self.rank, self.features), self.param_dtype)
+            scaling = self.alpha / self.rank
+            # LoRA math in fp32 (reference casts LoRA params fp32 under FSDP,
+            # trainer/sft_trainer/trainer.py:130-136).
+            delta = jnp.dot(jnp.dot(x.astype(jnp.float32), lora_a.astype(jnp.float32)), lora_b.astype(jnp.float32))
+            y = y + (scaling * delta).astype(y.dtype)
+        return y
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with fp32 statistics; optional learnable scale."""
+
+    eps: float = 1e-6
+    elementwise_affine: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            scale = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32)
+            y = y * scale
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics, optionally without affine params (DiT
+    blocks use affine-free LN followed by adaLN modulation)."""
+
+    eps: float = 1e-6
+    elementwise_affine: bool = False
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            scale = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32)
+            y = y * scale
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros_init(), (x.shape[-1],), jnp.float32)
+                y = y + bias
+        return y.astype(self.dtype)
+
+
+def sinusoidal_timestep_embedding(
+    timesteps: jax.Array, dim: int, max_period: float = 10000.0, flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0, scale: float = 1.0,
+) -> jax.Array:
+    """Standard DDPM sinusoidal embedding; fp32."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = scale * emb
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Sinusoidal embedding -> 2-layer MLP."""
+
+    embedding_dim: int
+    freq_dim: int = 256
+    dtype: Any = jnp.bfloat16
+    flip_sin_to_cos: bool = True
+    downscale_freq_shift: float = 0.0
+
+    @nn.compact
+    def __call__(self, timesteps: jax.Array) -> jax.Array:
+        emb = sinusoidal_timestep_embedding(
+            timesteps, self.freq_dim, flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.downscale_freq_shift,
+        )
+        emb = LoRADense(self.embedding_dim, dtype=self.dtype, name="linear_1")(emb.astype(self.dtype))
+        emb = nn.silu(emb)
+        emb = LoRADense(self.embedding_dim, dtype=self.dtype, name="linear_2")(emb)
+        return emb
+
+
+def apply_rotary_emb(x: jax.Array, freqs_cos: jax.Array, freqs_sin: jax.Array, interleaved: bool = True) -> jax.Array:
+    """Apply RoPE to (B, S, N, H) tensors. freqs: (S, H/2) or broadcastable.
+
+    interleaved=True pairs (x0,x1),(x2,x3)… (diffusers' rotate-interleaved
+    convention used by most DiTs); False pairs first/second halves.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    fc = freqs_cos[None, :, None, :] if freqs_cos.ndim == 2 else freqs_cos
+    fs = freqs_sin[None, :, None, :] if freqs_sin.ndim == 2 else freqs_sin
+    if interleaved:
+        x1 = x32[..., 0::2]
+        x2 = x32[..., 1::2]
+        out1 = x1 * fc - x2 * fs
+        out2 = x2 * fc + x1 * fs
+        out = jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+    else:
+        half = x.shape[-1] // 2
+        x1, x2 = x32[..., :half], x32[..., half:]
+        out = jnp.concatenate([x1 * fc - x2 * fs, x2 * fc + x1 * fs], axis=-1)
+    return out.astype(orig_dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (self or cross) with optional QK-norm, RoPE, LoRA.
+
+    Layout: (B, S, D) in, heads split to BTNH for `attention_dispatch`.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_features: Optional[int] = None
+    qk_norm: Optional[str] = None  # None | "rms_norm" | "layer_norm"
+    use_bias: bool = True
+    out_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_targets: Sequence[str] = ("to_q", "to_k", "to_v", "to_out")
+    dtype: Any = jnp.bfloat16
+    cross_attention_dim: Optional[int] = None
+    eps: float = 1e-6
+
+    def _rank(self, name: str) -> int:
+        return self.lora_rank if any(t in name for t in self.lora_targets) else 0
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        freqs: Optional[Tuple[jax.Array, jax.Array]] = None,
+        kv_lens: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        inner = self.num_heads * self.head_dim
+        out_features = self.out_features or hidden_states.shape[-1]
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+
+        q = LoRADense(inner, use_bias=self.use_bias, rank=self._rank("to_q"), alpha=self.lora_alpha,
+                      dtype=self.dtype, name="to_q")(hidden_states)
+        k = LoRADense(inner, use_bias=self.use_bias, rank=self._rank("to_k"), alpha=self.lora_alpha,
+                      dtype=self.dtype, name="to_k")(ctx)
+        v = LoRADense(inner, use_bias=self.use_bias, rank=self._rank("to_v"), alpha=self.lora_alpha,
+                      dtype=self.dtype, name="to_v")(ctx)
+
+        b, sq = q.shape[0], q.shape[1]
+        skv = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, skv, self.num_heads, self.head_dim)
+        v = v.reshape(b, skv, self.num_heads, self.head_dim)
+
+        if self.qk_norm == "rms_norm":
+            q = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_q")(q)
+            k = RMSNorm(eps=self.eps, dtype=self.dtype, name="norm_k")(k)
+        elif self.qk_norm == "layer_norm":
+            q = LayerNorm(eps=self.eps, elementwise_affine=True, dtype=self.dtype, name="norm_q")(q)
+            k = LayerNorm(eps=self.eps, elementwise_affine=True, dtype=self.dtype, name="norm_k")(k)
+
+        if freqs is not None:
+            q = apply_rotary_emb(q, *freqs)
+            k = apply_rotary_emb(k, *freqs)
+
+        out = attention_dispatch(q, k, v, kv_lens=kv_lens, attn_mask=attn_mask)
+        out = out.reshape(b, sq, inner)
+        out = LoRADense(out_features, use_bias=self.out_bias, rank=self._rank("to_out"),
+                        alpha=self.lora_alpha, dtype=self.dtype, name="to_out")(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """MLP with gelu / geglu / silu activation."""
+
+    inner_dim: int
+    out_dim: Optional[int] = None
+    activation: str = "gelu-approximate"
+    use_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_dim = self.out_dim or x.shape[-1]
+        if self.activation == "geglu":
+            h = LoRADense(self.inner_dim * 2, use_bias=self.use_bias, rank=self.lora_rank,
+                          alpha=self.lora_alpha, dtype=self.dtype, name="proj_in")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate)
+        else:
+            h = LoRADense(self.inner_dim, use_bias=self.use_bias, rank=self.lora_rank,
+                          alpha=self.lora_alpha, dtype=self.dtype, name="proj_in")(x)
+            if self.activation in ("gelu", "gelu-approximate"):
+                h = nn.gelu(h, approximate=self.activation == "gelu-approximate")
+            elif self.activation == "silu":
+                h = nn.silu(h)
+            else:
+                raise ValueError(f"Unknown activation {self.activation}")
+        h = LoRADense(out_dim, use_bias=self.use_bias, rank=self.lora_rank,
+                      alpha=self.lora_alpha, dtype=self.dtype, name="proj_out")(h)
+        return h
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """adaLN modulation; shift/scale (B, D) broadcast over sequence."""
+    return x * (1.0 + scale[:, None]) + shift[:, None]

@@ -1,0 +1,259 @@
+"""ModelSpecification: the per-model adapter contract.
+
+Capability parity with reference `finetrainers/models/modeling_utils.py:26-388`
+(`ModelSpecification` + `ControlModelSpecification`), redesigned for JAX:
+
+  - Components are `ModelHandle`s — (flax module, param pytree, config) triples —
+    instead of torch nn.Modules; params live outside the module so the trainer can
+    shard/donate/optimize them functionally.
+  - `forward` is a *pure jittable function* (called inside the trainer's jitted
+    train step) instead of a stateful method.
+  - `apply_tensor_parallel` becomes declarative `tp_rules()` (regex → PartitionSpec),
+    consumed by `parallel.sharding.make_param_shardings`.
+
+Reference method surface kept: load_condition_models / load_latent_models /
+load_diffusion_models / load_pipeline / prepare_conditions / prepare_latents /
+collate_conditions / collate_latents / forward / validation / _save_lora_weights /
+_save_model / _resolution_dim_keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..logging import get_logger
+
+
+logger = get_logger(__name__)
+
+# Keys excluded from tensor collation (reference modeling_utils.py:22).
+IGNORE_KEYS_FOR_COLLATION = ["height", "width", "num_frames", "frame_rate", "rope_interpolation_scale",
+                             "original_size", "target_size", "crop_coords"]
+
+
+@dataclasses.dataclass
+class ModelHandle:
+    """A model component: flax module + its params + config dict."""
+
+    module: Any
+    params: Any
+    config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def apply(self, *args, **kwargs):
+        return self.module.apply({"params": self.params}, *args, **kwargs)
+
+
+class ModelSpecification:
+    """Base class for model specs (reference modeling_utils.py:26-300)."""
+
+    def __init__(
+        self,
+        pretrained_model_name_or_path: Optional[str] = None,
+        tokenizer_id: Optional[str] = None,
+        tokenizer_2_id: Optional[str] = None,
+        tokenizer_3_id: Optional[str] = None,
+        text_encoder_id: Optional[str] = None,
+        text_encoder_2_id: Optional[str] = None,
+        text_encoder_3_id: Optional[str] = None,
+        transformer_id: Optional[str] = None,
+        vae_id: Optional[str] = None,
+        text_encoder_dtype: Any = jnp.bfloat16,
+        text_encoder_2_dtype: Any = jnp.bfloat16,
+        text_encoder_3_dtype: Any = jnp.bfloat16,
+        transformer_dtype: Any = jnp.bfloat16,
+        vae_dtype: Any = jnp.bfloat16,
+        revision: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+    ) -> None:
+        self.pretrained_model_name_or_path = pretrained_model_name_or_path
+        self.tokenizer_id = tokenizer_id
+        self.tokenizer_2_id = tokenizer_2_id
+        self.tokenizer_3_id = tokenizer_3_id
+        self.text_encoder_id = text_encoder_id
+        self.text_encoder_2_id = text_encoder_2_id
+        self.text_encoder_3_id = text_encoder_3_id
+        self.transformer_id = transformer_id
+        self.vae_id = vae_id
+        self.text_encoder_dtype = text_encoder_dtype
+        self.text_encoder_2_dtype = text_encoder_2_dtype
+        self.text_encoder_3_dtype = text_encoder_3_dtype
+        self.transformer_dtype = transformer_dtype
+        self.vae_dtype = vae_dtype
+        self.revision = revision
+        self.cache_dir = cache_dir
+        self.transformer_config: Dict[str, Any] = {}
+        self.vae_config: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ loading
+    def load_condition_models(self) -> Dict[str, Any]:
+        """Tokenizers + text encoders (as ModelHandles / tokenizer objects)."""
+        raise NotImplementedError
+
+    def load_latent_models(self) -> Dict[str, Any]:
+        """VAE handle."""
+        raise NotImplementedError
+
+    def load_diffusion_models(self) -> Dict[str, Any]:
+        """Transformer handle + scheduler."""
+        raise NotImplementedError
+
+    def load_pipeline(self, **kwargs) -> Any:
+        """Inference/validation pipeline."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ data prep
+    def prepare_conditions(self, **kwargs) -> Dict[str, Any]:
+        """Caption -> text-encoder embeddings (host-side, precompute-friendly)."""
+        raise NotImplementedError
+
+    def prepare_latents(self, **kwargs) -> Dict[str, Any]:
+        """Media -> VAE latents/moments (host-side, precompute-friendly)."""
+        raise NotImplementedError
+
+    def collate_conditions(self, data: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return _default_collate(data)
+
+    def collate_latents(self, data: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return _default_collate(data)
+
+    # ---------------------------------------------------------------- training
+    def forward(
+        self,
+        transformer: ModelHandle,
+        condition_model_conditions: Dict[str, jax.Array],
+        latent_model_conditions: Dict[str, jax.Array],
+        sigmas: jax.Array,
+        rng: jax.Array,
+        compute_posterior: bool = True,
+        **kwargs,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Pure training forward: returns (pred, target, sigmas). Jittable."""
+        raise NotImplementedError
+
+    # -------------------------------------------------------------- validation
+    def validation(self, pipeline, **kwargs) -> List[Any]:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ export
+    def _save_lora_weights(self, directory: str, lora_params, lora_config: Dict[str, Any],
+                           scheduler=None) -> None:
+        from ..lora import save_lora_weights
+
+        save_lora_weights(directory, lora_params, lora_config)
+
+    def _save_model(self, directory: str, transformer: ModelHandle, scheduler=None) -> None:
+        import os
+
+        from ..utils.serialization import safetensors_save_dict
+
+        os.makedirs(directory, exist_ok=True)
+        flat = flatten_params(transformer.params)
+        safetensors_save_dict(
+            {k: np.asarray(v) for k, v in flat.items()},
+            os.path.join(directory, "model.safetensors"),
+        )
+
+    # ------------------------------------------------------------- parallelism
+    def tp_rules(self) -> List[Tuple[str, Any]]:
+        """Tensor-parallel sharding rules: (param path regex, PartitionSpec).
+        Replaces reference apply_tensor_parallel (modeling_utils.py:233-245)."""
+        return []
+
+    def cp_plan(self) -> Dict[str, Any]:
+        """Context-parallel metadata: which batch keys carry the sharded sequence
+        dim (replaces the reference's CPInput/CPOutput hook plan, _metadata.py:16-71)."""
+        return {}
+
+    @property
+    def _resolution_dim_keys(self) -> Dict[str, Tuple[int, ...]]:
+        """Which tensor + dims key resolution-bucketed batching (reference
+        per-spec `_resolution_dim_keys`)."""
+        raise NotImplementedError
+
+
+class ControlModelSpecification(ModelSpecification):
+    """Adds channel-concat control conditioning (reference modeling_utils.py:303-388)."""
+
+    @property
+    def control_injection_layer_name(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def _original_control_layer_in_features(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def _original_control_layer_out_features(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def _qk_norm_identifiers(self) -> List[str]:
+        return []
+
+    def load_diffusion_models(self, new_in_features: Optional[int] = None) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def control_lora_rank_pattern(self, rank: int) -> Dict[str, int]:
+        """The injection layer trains at full rank (reference control trainer :131-144)."""
+        return {self.control_injection_layer_name: self._original_control_layer_out_features}
+
+    def control_lora_alpha_pattern(self, alpha: float) -> Dict[str, float]:
+        return {self.control_injection_layer_name: self._original_control_layer_out_features}
+
+
+# ------------------------------------------------------------------- helpers
+
+
+def _default_collate(data: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack tensors across samples except IGNORE_KEYS_FOR_COLLATION
+    (reference modeling_utils.py:156-181)."""
+    if len(data) == 0:
+        return {}
+    out: Dict[str, Any] = {}
+    for key in data[0]:
+        values = [d[key] for d in data]
+        if key in IGNORE_KEYS_FOR_COLLATION:
+            out[key] = values[0]
+            continue
+        first = values[0]
+        if isinstance(first, (np.ndarray, jax.Array)) and getattr(first, "ndim", 0) > 0:
+            arrs = [np.asarray(v) for v in values]
+            if arrs[0].shape[0] == 1:
+                # Samples already carry a leading batch dim of 1 (prepare_* outputs).
+                out[key] = np.concatenate(arrs, axis=0)
+            else:
+                out[key] = np.stack(arrs)
+        else:
+            out[key] = values[0]
+    return out
+
+
+def flatten_params(params, prefix: str = "", sep: str = ".") -> Dict[str, Any]:
+    flat = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            key = f"{prefix}{sep}{k}" if prefix else str(k)
+            flat.update(flatten_params(v, key, sep))
+    else:
+        flat[prefix] = params
+    return flat
+
+
+def unflatten_params(flat: Dict[str, Any], sep: str = ".") -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))

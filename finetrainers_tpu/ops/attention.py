@@ -1,0 +1,226 @@
+"""Attention provider registry and dispatch.
+
+Capability parity with the reference's attention-dispatch layer
+(`finetrainers/models/attention_dispatch.py:295-447`): a provider registry with
+constraint checks, a context manager to switch providers, and a single dispatch
+entry point. TPU-first differences:
+
+  - No monkey-patching (reference patches/__init__.py:56-59 patches torch SDPA
+    globally); we own every model's forward, which calls `attention_dispatch`
+    explicitly.
+  - Providers are JAX/XLA/Pallas backends:
+      * "native"/"xla": `jax.nn.dot_product_attention` — XLA's fused attention.
+      * "_native_math": explicit softmax reference (numerics baseline; parity with
+        the reference's `_native_math` provider).
+      * "flash"/"splash": this repo's Pallas TPU flash-attention kernel.
+      * "ring": ring attention over the "cp" mesh axis (context parallelism).
+
+Canonical tensor layout is **BTNH** (batch, seq, heads, head_dim) — TPU-friendly
+(trailing head_dim maps to lanes; contraction dims stay large for the MXU).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+from enum import Enum
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import FINETRAINERS_ATTN_CHECKS, FINETRAINERS_ATTN_PROVIDER
+from ..logging import get_logger
+
+
+logger = get_logger(__name__)
+
+
+class AttentionProvider(str, Enum):
+    FLASH = "flash"
+    SPLASH = "splash"
+    RING = "ring"
+    NATIVE = "native"
+    XLA = "xla"
+    _NATIVE_MATH = "_native_math"
+
+
+class _AttentionProviderRegistry:
+    _providers: Dict[str, Callable] = {}
+    _constraints: Dict[str, List[Callable]] = {}
+    _supports_cp: Dict[str, bool] = {}
+
+    _active_provider: str = FINETRAINERS_ATTN_PROVIDER
+    _cp_mesh = None
+    _cp_axis: Optional[str] = None
+
+    @classmethod
+    def register(cls, name: str, supports_cp: bool = False, constraints: Optional[List[Callable]] = None):
+        def decorator(fn):
+            cls._providers[name] = fn
+            cls._constraints[name] = constraints or []
+            cls._supports_cp[name] = supports_cp
+            return fn
+
+        return decorator
+
+    @classmethod
+    def get(cls, name: str) -> Callable:
+        if name not in cls._providers:
+            raise ValueError(f"Unknown attention provider {name!r}. Available: {sorted(cls._providers)}")
+        return cls._providers[name]
+
+    @classmethod
+    def supports_context_parallel(cls, name: str) -> bool:
+        return cls._supports_cp.get(name, False)
+
+    @classmethod
+    def _set_context_parallel(cls, mesh=None, axis: Optional[str] = None) -> None:
+        cls._cp_mesh = mesh
+        cls._cp_axis = axis
+
+
+def list_providers() -> List[str]:
+    return sorted(_AttentionProviderRegistry._providers)
+
+
+def get_active_provider() -> str:
+    return _AttentionProviderRegistry._active_provider
+
+
+@contextlib.contextmanager
+def attention_provider(name: str = "native"):
+    """Context manager switching the active provider (reference attention_dispatch.py:365-402)."""
+    registry = _AttentionProviderRegistry
+    old = registry._active_provider
+    if name not in registry._providers:
+        raise ValueError(f"Unknown attention provider {name!r}. Available: {sorted(registry._providers)}")
+    registry._active_provider = name
+    try:
+        yield
+    finally:
+        registry._active_provider = old
+
+
+def _check_shapes(query, key, value, attn_mask) -> None:
+    if query.ndim != 4 or key.ndim != 4 or value.ndim != 4:
+        raise ValueError("attention expects BTNH tensors (batch, seq, heads, head_dim)")
+    if key.shape[1] != value.shape[1]:
+        raise ValueError("key/value sequence lengths differ")
+    if query.shape[3] != key.shape[3]:
+        raise ValueError("query/key head dims differ")
+    if query.shape[2] % key.shape[2] != 0:
+        raise ValueError("num query heads must be a multiple of num kv heads (GQA)")
+
+
+def attention_dispatch(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    kv_lens: Optional[jax.Array] = None,
+    provider: Optional[str] = None,
+) -> jax.Array:
+    """Single dispatch entry (reference attention_dispatch.py:405-447).
+
+    query/key/value: (B, S, N, H). attn_mask: broadcastable boolean/additive mask
+    of shape (B, 1|N, Sq, Skv) (True = attend). kv_lens: (B,) valid KV lengths —
+    the TPU-friendly alternative to padding masks (lets the flash kernel mask by
+    index instead of materializing S×S masks).
+    """
+    name = provider or _AttentionProviderRegistry._active_provider
+    fn = _AttentionProviderRegistry.get(name)
+    if FINETRAINERS_ATTN_CHECKS:
+        _check_shapes(query, key, value, attn_mask)
+    return fn(
+        query=query,
+        key=key,
+        value=value,
+        attn_mask=attn_mask,
+        dropout_p=dropout_p,
+        is_causal=is_causal,
+        scale=scale,
+        kv_lens=kv_lens,
+    )
+
+
+# ---------------------------------------------------------------------- providers
+
+
+def _mask_from_kv_lens(kv_lens: jax.Array, skv: int) -> jax.Array:
+    # (B,) -> (B, 1, 1, Skv) boolean mask
+    col = jnp.arange(skv)[None, :]
+    return (col < kv_lens[:, None])[:, None, None, :]
+
+
+@_AttentionProviderRegistry.register("native")
+@_AttentionProviderRegistry.register("xla")
+def _xla_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+    """XLA's fused dot-product attention (cuDNN-SDPA analog on TPU)."""
+    del dropout_p  # training dropout in attention is unused by all supported models
+    if kv_lens is not None and attn_mask is None:
+        attn_mask = _mask_from_kv_lens(kv_lens, key.shape[1])
+    return jax.nn.dot_product_attention(
+        query, key, value, mask=attn_mask, scale=scale, is_causal=is_causal,
+    )
+
+
+@_AttentionProviderRegistry.register("_native_math")
+def _math_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+    """Explicit softmax reference in fp32 (numerics baseline, reference
+    attention_dispatch.py:1515-1540)."""
+    del dropout_p
+    b, sq, n, h = query.shape
+    skv = key.shape[1]
+    n_kv = key.shape[2]
+    if n_kv != n:
+        rep = n // n_kv
+        key = jnp.repeat(key, rep, axis=2)
+        value = jnp.repeat(value, rep, axis=2)
+    scale = scale if scale is not None else (h**-0.5)
+    q = query.astype(jnp.float32) * scale
+    logits = jnp.einsum("bqnh,bknh->bnqk", q, key.astype(jnp.float32))
+    if kv_lens is not None:
+        col_mask = _mask_from_kv_lens(kv_lens, skv)  # (B,1,1,Skv)
+        logits = jnp.where(col_mask, logits, -jnp.inf)
+    if attn_mask is not None:
+        if attn_mask.dtype == jnp.bool_:
+            logits = jnp.where(attn_mask, logits, -jnp.inf)
+        else:
+            logits = logits + attn_mask.astype(jnp.float32)
+    if is_causal:
+        causal = jnp.tril(jnp.ones((sq, skv), dtype=bool), k=skv - sq)
+        logits = jnp.where(causal[None, None], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnqk,bknh->bqnh", probs, value.astype(jnp.float32))
+    return out.astype(query.dtype)
+
+
+def _register_flash_providers():
+    from .flash_attention import flash_attention
+
+    @_AttentionProviderRegistry.register("flash", supports_cp=True)
+    @_AttentionProviderRegistry.register("splash", supports_cp=True)
+    def _flash(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+        del dropout_p
+        if attn_mask is not None:
+            # General masks fall back to the XLA fused path; kv_lens is the fast path.
+            return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+        return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+
+    @_AttentionProviderRegistry.register("ring", supports_cp=True)
+    def _ring(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+        del dropout_p
+        from .ring_attention import ring_attention
+
+        registry = _AttentionProviderRegistry
+        if registry._cp_axis is None:
+            # Outside a CP region, ring attention degrades to flash.
+            return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+        return ring_attention(query, key, value, axis_name=registry._cp_axis, scale=scale)
+
+
+_register_flash_providers()

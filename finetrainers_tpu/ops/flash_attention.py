@@ -1,0 +1,496 @@
+"""Pallas TPU flash attention (forward + backward).
+
+This is the framework's hot kernel — the TPU-native replacement for the reference's
+external flash-attn/cudnn/efficient kernels (dispatch surface at reference
+`finetrainers/models/attention_dispatch.py`; see SURVEY.md §2.9).
+
+Design (canonical TPU blockwise attention):
+  - Layout **BNTH** inside the kernel (batch, heads, seq, head_dim): the (seq, head)
+    trailing dims tile cleanly onto (sublane, lane) = (block, 128).
+  - Forward grid (B, N, num_q_blocks, num_kv_blocks), kv innermost. Running
+    max/denominator in VMEM scratch persists across the sequential kv iterations
+    (TPU grid execution is sequential per core), giving the online-softmax
+    recurrence without any HBM round-trips.
+  - Backward = two kernels: dKdV with grid (B, N, num_kv_blocks, num_q_blocks)
+    and dQ with grid (B, N, num_q_blocks, num_kv_blocks), both re-computing P from
+    the saved logsumexp (flash-attention-2 style; no S×S materialization).
+  - Variable KV length via a (B,) `kv_lens` array (TPU-friendly padding mask:
+    index comparison instead of a materialized S×S mask).
+  - GQA: handled by head-broadcasting outside the custom_vjp boundary, so the
+    repeat's transpose (a sum over the group) is derived by autodiff.
+
+Interface layout is **BTNH** (batch, seq, heads, head_dim) to match the rest of
+the framework; transposes at the boundary fuse into the surrounding projections.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_KV = 256
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(x: jax.Array, target: int, axis: int) -> jax.Array:
+    pad = target - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------- forward
+
+
+def _fwd_kernel(
+    kv_lens_ref,  # scalar prefetch: (B,) int32
+    q_ref,  # (1, 1, bq, H)
+    k_ref,  # (1, 1, bkv, H)
+    v_ref,  # (1, 1, bkv, H)
+    o_ref,  # (1, 1, bq, H)
+    lse_ref,  # (1, 1, bq, 8) — lse replicated over 8 lanes (Mosaic tiling-friendly)
+    m_scr,  # (bq, 128) f32
+    l_scr,  # (bq, 128) f32
+    acc_scr,  # (bq, H) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    q_seq_len: int,
+    kv_seq_len: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    kv_len = kv_lens_ref[b]
+
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, H)
+        k = k_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bkv)
+
+        col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        mask = col < kv_len
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (bq, bkv)
+        # Mask rows that are entirely invalid keep p≈exp(_NEG_INF - _NEG_INF)=1: re-mask.
+        p = jnp.where(mask, p, 0.0)
+
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, H)
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        # Skip fully-masked kv blocks (query rows all above the diagonal).
+        first_row = qi * block_q + (kv_seq_len - q_seq_len)
+        block_needed = kj * block_kv <= first_row + block_q - 1
+
+        @pl.when(block_needed)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(kj == num_kv - 1)
+    def _emit():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_safe)  # (bq, 1)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
+
+
+def _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv):
+    """q,k,v: (B, N, S, H) — returns (out, lse)."""
+    batch, num_heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+
+    block_q = min(block_q, max(q_len, 8))
+    block_kv = min(block_kv, max(kv_len, 8))
+    q_pad = _cdiv(q_len, block_q) * block_q
+    kv_pad = _cdiv(kv_len, block_kv) * block_kv
+    q = _pad_to(q, q_pad, 2)
+    k = _pad_to(k, kv_pad, 2)
+    v = _pad_to(v, kv_pad, 2)
+
+    grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_kv=block_kv,
+        q_seq_len=q_len,
+        kv_seq_len=kv_len,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, q_pad, 8), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(kv_lens, q, k, v)
+    return out[:, :, :q_len], lse[:, :, :q_len, 0]
+
+
+# --------------------------------------------------------------------- backward
+
+
+def _bwd_dkdv_kernel(
+    kv_lens_ref,
+    q_ref,  # (1, 1, bq, H)
+    k_ref,  # (1, 1, bkv, H)
+    v_ref,  # (1, 1, bkv, H)
+    do_ref,  # (1, 1, bq, H)
+    lse_ref,  # (1, 1, bq, 8)
+    delta_ref,  # (1, 1, bq, 8)
+    dk_ref,  # (1, 1, bkv, H)
+    dv_ref,  # (1, 1, bkv, H)
+    dk_scr,  # (bkv, H) f32
+    dv_scr,  # (bkv, H) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    q_seq_len: int,
+    kv_seq_len: int,
+):
+    b = pl.program_id(0)
+    kj = pl.program_id(2)
+    qi = pl.program_id(3)
+    num_q = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    kv_len = kv_lens_ref[b]
+
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # (bq, H)
+        k = k_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)  # (bq, H)
+        lse = lse_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
+        delta = delta_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
+
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bkv)
+        col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        mask = col < kv_len
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (bq, bkv)
+
+        # dv += P^T @ dO
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp = dO @ V^T ; ds = P * (dp - delta) * scale
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bkv)
+        ds = p * (dp - delta) * scale
+        # dk += dS^T @ Q
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        last_row = (qi + 1) * block_q - 1 + (kv_seq_len - q_seq_len)
+        block_needed = kj * block_kv <= last_row
+
+        @pl.when(block_needed)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(qi == num_q - 1)
+    def _emit():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    kv_lens_ref,
+    q_ref,  # (1, 1, bq, H)
+    k_ref,  # (1, 1, bkv, H)
+    v_ref,  # (1, 1, bkv, H)
+    do_ref,  # (1, 1, bq, H)
+    lse_ref,  # (1, 1, bq, 8)
+    delta_ref,  # (1, 1, bq, 8)
+    dq_ref,  # (1, 1, bq, H)
+    dq_scr,  # (bq, H) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    q_seq_len: int,
+    kv_seq_len: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    kv_len = kv_lens_ref[b]
+
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, :1].astype(jnp.float32)
+        delta = delta_ref[0, 0, :, :1].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        mask = col < kv_len
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        first_row = qi * block_q + (kv_seq_len - q_seq_len)
+        block_needed = kj * block_kv <= first_row + block_q - 1
+
+        @pl.when(block_needed)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(kj == num_kv - 1)
+    def _emit():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, block_kv):
+    batch, num_heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+
+    # delta = rowsum(dO * O): cheap elementwise+reduce — let XLA fuse it.
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, N, Sq)
+
+    block_q = min(block_q, max(q_len, 8))
+    block_kv = min(block_kv, max(kv_len, 8))
+    q_pad = _cdiv(q_len, block_q) * block_q
+    kv_pad = _cdiv(kv_len, block_kv) * block_kv
+    qp = _pad_to(q, q_pad, 2)
+    kp = _pad_to(k, kv_pad, 2)
+    vp = _pad_to(v, kv_pad, 2)
+    dop = _pad_to(do, q_pad, 2)
+    # Pad LSE with +inf so padded q rows give p = exp(s - inf) = 0; replicate over
+    # 8 lanes (Mosaic tiling-friendly layout, matches the forward's LSE output).
+    lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad - q_len)), constant_values=jnp.inf)
+    lsep = jnp.broadcast_to(lsep[..., None], (*lsep.shape, 8))
+    deltap = _pad_to(delta, q_pad, 2)
+    deltap = jnp.broadcast_to(deltap[..., None], (*deltap.shape, 8))
+
+    common = dict(
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_kv=block_kv,
+        q_seq_len=q_len,
+        kv_seq_len=kv_len,
+    )
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, num_heads, kv_pad // block_kv, q_pad // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, j, i, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, j, i, *_: (b, n, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, head_dim), jnp.float32),
+                pltpu.VMEM((block_kv, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(kv_lens, qp, kp, vp, dop, lsep, deltap)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, num_heads, q_pad // block_q, kv_pad // block_kv),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
+        ],
+        interpret=_interpret(),
+    )(kv_lens, qp, kp, vp, dop, lsep, deltap)[0]
+
+    return dq[:, :, :q_len], dk[:, :, :kv_len], dv[:, :, :kv_len]
+
+
+# ----------------------------------------------------------------- custom VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_mha(q, k, v, kv_lens, scale, causal, block_q, block_kv):
+    out, _ = _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv)
+    return out
+
+
+def _flash_mha_fwd(q, k, v, kv_lens, scale, causal, block_q, block_kv):
+    out, lse = _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv)
+    return out, (q, k, v, kv_lens, out, lse)
+
+
+def _flash_mha_bwd(scale, causal, block_q, block_kv, residuals, g):
+    q, k, v, kv_lens, out, lse = residuals
+    dq, dk, dv = _flash_backward(q, k, v, kv_lens, out, lse, g, scale, causal, block_q, block_kv)
+    return dq, dk, dv, None
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def flash_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    kv_lens: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+) -> jax.Array:
+    """Flash attention on BTNH tensors.
+
+    query: (B, Sq, N, H); key/value: (B, Skv, Nkv, H) with Nkv dividing N (GQA).
+    kv_lens: optional (B,) int32 valid KV lengths.
+    """
+    batch, q_len, num_heads, head_dim = query.shape
+    kv_len = key.shape[1]
+    num_kv_heads = key.shape[2]
+    if scale is None:
+        scale = head_dim**-0.5
+    if kv_lens is None:
+        kv_lens = jnp.full((batch,), kv_len, dtype=jnp.int32)
+    else:
+        kv_lens = kv_lens.astype(jnp.int32)
+
+    # BTNH -> BNTH (fuses into surrounding projections under XLA).
+    q = jnp.swapaxes(query, 1, 2)
+    k = jnp.swapaxes(key, 1, 2)
+    v = jnp.swapaxes(value, 1, 2)
+    if num_kv_heads != num_heads:
+        rep = num_heads // num_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    out = _flash_mha(q, k, v, kv_lens, float(scale), bool(causal), int(block_q), int(block_kv))
+    return jnp.swapaxes(out, 1, 2)

@@ -1,0 +1,144 @@
+"""Ring attention over the context-parallel mesh axis.
+
+TPU-native replacement for the reference's templated ring attention
+(`finetrainers/models/attention_dispatch.py:675-762` wraps torch's
+`_templated_ring_attention`; SURVEY.md §2.3 "Ring attention (CP core)").
+
+Design: runs inside `shard_map` with the sequence dimension sharded on the "cp"
+axis. Each of the `cp` steps computes blockwise attention of the local Q shard
+against the currently-held KV shard with this repo's Pallas flash kernel, then
+rotates KV one hop around the ring with `lax.ppermute` (XLA lowers this to ICI
+neighbor exchange, overlapping with the next step's compute). Partial outputs are
+combined with the online-softmax rule using each chunk's logsumexp.
+
+Backward (custom_vjp): the combined softmax factorizes as
+    P_ij = exp(s_ij - lse_global)
+so each chunk's dQ/dK/dV are exactly the flash-attention-2 backward evaluated with
+the *global* LSE and global delta — we re-run the ring, calling the Pallas backward
+kernels per chunk and rotating KV (and their grads) around the ring.
+
+The fp32 accumulation the reference forces during CP (convert_to_fp32=True,
+attention_dispatch.py:343-355) is inherent here: all combination math is fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import DEFAULT_BLOCK_KV, DEFAULT_BLOCK_Q, _flash_backward, _flash_forward
+
+
+def _ring_perm(axis_name: str):
+    size = jax.lax.axis_size(axis_name)
+    return [(i, (i + 1) % size) for i in range(size)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ring_mha(q, k, v, axis_name: str, scale: float):
+    out, _ = _ring_forward(q, k, v, axis_name, scale)
+    return out
+
+
+def _ring_forward(q, k, v, axis_name: str, scale: float):
+    """q,k,v: local shards (B, N, S_local, H). Returns (out, lse_global)."""
+    cp_size = jax.lax.axis_size(axis_name)
+    perm = _ring_perm(axis_name)
+
+    m_run = None  # running max of lse
+    l_run = None  # running rescaled denominator proxy
+    acc = None  # running rescaled numerator (out_i are already normalized per chunk)
+
+    k_cur, v_cur = k, v
+    for step in range(cp_size):
+        out_i, lse_i = _flash_forward(
+            q, k_cur, v_cur, jnp.full((q.shape[0],), k_cur.shape[2], jnp.int32),
+            scale, False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV,
+        )
+        out_i = out_i.astype(jnp.float32)
+        lse_i = lse_i[..., None]  # (B, N, S, 1)
+        if m_run is None:
+            m_run, l_run, acc = lse_i, jnp.ones_like(lse_i), out_i
+        else:
+            m_new = jnp.maximum(m_run, lse_i)
+            alpha = jnp.exp(m_run - m_new)
+            beta = jnp.exp(lse_i - m_new)
+            acc = acc * alpha + out_i * beta
+            l_run = l_run * alpha + beta
+            m_run = m_new
+        if step != cp_size - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+
+    out = (acc / l_run).astype(q.dtype)
+    lse_global = (m_run + jnp.log(l_run))[..., 0]  # (B, N, S)
+    return out, lse_global
+
+
+def _ring_mha_fwd(q, k, v, axis_name: str, scale: float):
+    out, lse = _ring_forward(q, k, v, axis_name, scale)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_mha_bwd(axis_name: str, scale: float, residuals, g):
+    q, k, v, out, lse = residuals
+    cp_size = jax.lax.axis_size(axis_name)
+    perm = _ring_perm(axis_name)
+    inv_perm = [(dst, src) for src, dst in perm]
+
+    kv_lens = jnp.full((q.shape[0],), k.shape[2], jnp.int32)
+    dq = jnp.zeros_like(q, dtype=jnp.float32)
+    dk_acc = jnp.zeros_like(k, dtype=jnp.float32)
+    dv_acc = jnp.zeros_like(v, dtype=jnp.float32)
+
+    k_cur, v_cur = k, v
+    for step in range(cp_size):
+        # Per-chunk flash backward with the GLOBAL lse/out: gives exact partials.
+        dq_i, dk_i, dv_i = _flash_backward(
+            q, k_cur, v_cur, kv_lens, out, lse, g, scale, False,
+            DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV,
+        )
+        dq = dq + dq_i.astype(jnp.float32)
+        dk_acc = dk_acc + dk_i.astype(jnp.float32)
+        dv_acc = dv_acc + dv_i.astype(jnp.float32)
+        if step != cp_size - 1:
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            # Rotate accumulated kv-grads along with their kv shards.
+            dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+    # After cp_size-1 rotations the accumulators sit one hop short of home; one
+    # more rotation returns each shard's gradient to its owner.
+    dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+    dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+    return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+
+
+_ring_mha.defvjp(_ring_mha_fwd, _ring_mha_bwd)
+
+
+def ring_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    axis_name: str,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Ring attention on BTNH shards (must be called inside shard_map with the
+    sequence dim sharded over `axis_name`)."""
+    head_dim = query.shape[-1]
+    if scale is None:
+        scale = head_dim**-0.5
+    num_heads, num_kv_heads = query.shape[2], key.shape[2]
+    q = jnp.swapaxes(query, 1, 2)
+    k = jnp.swapaxes(key, 1, 2)
+    v = jnp.swapaxes(value, 1, 2)
+    if num_kv_heads != num_heads:
+        rep = num_heads // num_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    out = _ring_mha(q, k, v, axis_name, float(scale))
+    return jnp.swapaxes(out, 1, 2)

@@ -1,0 +1,19 @@
+from .mesh import AXIS_CP, AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_TP, BATCH_AXES, MeshEnv, ParallelDims
+from .sharding import infer_fsdp_spec, make_param_shardings, shard_pytree
+from .utils import dist_max, dist_mean
+
+
+__all__ = [
+    "AXIS_CP",
+    "AXIS_DP_REPLICATE",
+    "AXIS_DP_SHARD",
+    "AXIS_TP",
+    "BATCH_AXES",
+    "MeshEnv",
+    "ParallelDims",
+    "infer_fsdp_spec",
+    "make_param_shardings",
+    "shard_pytree",
+    "dist_max",
+    "dist_mean",
+]

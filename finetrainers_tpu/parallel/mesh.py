@@ -1,0 +1,195 @@
+"""Device-mesh environment: the TPU-native replacement for the reference's parallel backends.
+
+The reference (`finetrainers/parallel/ptd.py:41-279`) builds a torch DeviceMesh and then
+*imperatively* applies DDP / FSDP2 / HSDP / TP wrappers and CP hooks. On TPU the whole
+matrix collapses into ONE object: a `jax.sharding.Mesh` with named axes
+
+    ("dp_replicate", "dp_shard", "cp", "tp")
+
+plus `NamedSharding` rules. GSPMD then *derives* the collectives:
+
+  - DDP           = params replicated, batch sharded over dp axes (all-reduce emerges in bwd)
+  - FSDP2 / ZeRO3 = params sharded on "dp_shard" (all-gather fwd, reduce-scatter bwd)
+  - HSDP          = both dp axes populated
+  - TP            = params sharded on "tp" along head/ffn dims
+  - CP            = activation sequence dim sharded on "cp" (+ ring attention kernel)
+
+Reference mesh construction semantics mirrored here: nonzero degrees in order
+(pp, dp_replicate, dp_shard, cp, tp) with world-size divisibility check
+(`parallel/ptd.py:75-78,161-209`); flattened composite axes ("dp", "dp_cp",
+"dp_shard_cp") become axis *tuples* in PartitionSpecs instead of flattened meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+AXIS_DP_REPLICATE = "dp_replicate"
+AXIS_DP_SHARD = "dp_shard"
+AXIS_CP = "cp"
+AXIS_TP = "tp"
+
+MESH_AXES = (AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_CP, AXIS_TP)
+
+# Batch dimension of data tensors is sharded across every data-parallel-ish axis.
+# (The reference flattens ("dp_replicate","dp_shard") into "dp"; in JAX a tuple of
+# axis names inside a PartitionSpec plays that role.)
+BATCH_AXES = (AXIS_DP_REPLICATE, AXIS_DP_SHARD)
+# Loss/grad-norm scalar reductions in the reference run over the flattened "dp_cp"
+# mesh (`trainer/sft_trainer/trainer.py:507-518`). Under jit+GSPMD a jnp.mean over
+# the global batch already performs that reduction.
+LOSS_REDUCE_AXES = (AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_CP)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelDims:
+    """Degrees of parallelism. pp is accepted for CLI parity but must be 1 (the
+    reference also raises for pp > 1, `trainer/sft_trainer/trainer.py:91-94`)."""
+
+    dp_replicate: int = 1
+    dp_shard: int = 1
+    cp: int = 1
+    tp: int = 1
+    pp: int = 1
+
+    def __post_init__(self):
+        if self.pp != 1:
+            raise NotImplementedError("Pipeline parallelism is not supported (matches reference behavior).")
+        for name in ("dp_replicate", "dp_shard", "cp", "tp"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be >= 1")
+
+    @property
+    def world_size(self) -> int:
+        return self.dp_replicate * self.dp_shard * self.cp * self.tp
+
+    @classmethod
+    def from_args(cls, args) -> "ParallelDims":
+        return cls(
+            dp_replicate=getattr(args, "dp_degree", 1),
+            dp_shard=getattr(args, "dp_shards", 1),
+            cp=getattr(args, "cp_degree", 1),
+            tp=getattr(args, "tp_degree", 1),
+            pp=getattr(args, "pp_degree", 1),
+        )
+
+
+class MeshEnv:
+    """Thin environment wrapping the global mesh: rank/axis helpers, sharding
+    constructors, host-data placement. Replaces `BaseParallelBackend`
+    (reference `parallel/base.py:9-115`)."""
+
+    def __init__(
+        self,
+        dims: Optional[ParallelDims] = None,
+        devices: Optional[Sequence[jax.Device]] = None,
+    ) -> None:
+        devices = list(devices) if devices is not None else jax.devices()
+        if dims is None:
+            # Default: pure FSDP over every device.
+            dims = ParallelDims(dp_shard=len(devices))
+        if dims.world_size != len(devices):
+            raise ValueError(
+                f"Parallel degrees {dims} require world_size={dims.world_size} but "
+                f"{len(devices)} devices are available."
+            )
+        self.dims = dims
+        device_array = np.asarray(devices).reshape(dims.dp_replicate, dims.dp_shard, dims.cp, dims.tp)
+        self.mesh = Mesh(device_array, MESH_AXES)
+
+    # ------------------------------------------------------------------ identity
+    @property
+    def world_size(self) -> int:
+        return self.mesh.size
+
+    @property
+    def rank(self) -> int:
+        return jax.process_index()
+
+    @property
+    def local_rank(self) -> int:
+        return 0
+
+    @property
+    def is_main_process(self) -> bool:
+        return jax.process_index() == 0
+
+    @property
+    def is_local_main_process(self) -> bool:
+        return self.is_main_process
+
+    # ------------------------------------------------------- enabled-parallelisms
+    @property
+    def data_replication_enabled(self) -> bool:
+        return self.dims.dp_replicate > 1
+
+    @property
+    def data_sharding_enabled(self) -> bool:
+        return self.dims.dp_shard > 1
+
+    @property
+    def data_parallel_enabled(self) -> bool:
+        return self.dims.dp_replicate > 1 or self.dims.dp_shard > 1
+
+    @property
+    def context_parallel_enabled(self) -> bool:
+        return self.dims.cp > 1
+
+    @property
+    def tensor_parallel_enabled(self) -> bool:
+        return self.dims.tp > 1
+
+    @property
+    def pipeline_parallel_enabled(self) -> bool:
+        return False
+
+    # ------------------------------------------------------------------ shardings
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, PartitionSpec())
+
+    def data_sharding(self, ndim: int, seq_dim: Optional[int] = None) -> NamedSharding:
+        """Batch dim 0 over the dp axes; optionally the sequence dim over "cp"."""
+        spec = [None] * ndim
+        spec[0] = BATCH_AXES
+        if seq_dim is not None and self.dims.cp > 1:
+            spec[seq_dim] = AXIS_CP
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def shard_batch(self, batch, seq_dims: Optional[dict] = None):
+        """Device-put a host batch pytree with batch-dim sharding. `seq_dims` maps
+        pytree key paths (joined by '.') to the sequence dimension for CP sharding."""
+        seq_dims = seq_dims or {}
+
+        def _place(path, x):
+            key = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            if getattr(x, "ndim", 0) == 0:
+                return jax.device_put(x, self.replicated())
+            return jax.device_put(x, self.data_sharding(x.ndim, seq_dims.get(key)))
+
+        return jax.tree_util.tree_map_with_path(_place, batch)
+
+    # ------------------------------------------------------------------- control
+    def wait_for_everyone(self) -> None:
+        # Single-controller JAX: block until all outstanding work is done.
+        (jax.device_put(0.0) + 0).block_until_ready()
+
+    def destroy(self) -> None:
+        pass
+
+    @property
+    def local_batch_size_divisor(self) -> int:
+        """Global batch must be divisible by this (number of data-parallel shards)."""
+        return self.dims.dp_replicate * self.dims.dp_shard
+
+
+def create_device_mesh(dims: ParallelDims, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    return MeshEnv(dims, devices).mesh

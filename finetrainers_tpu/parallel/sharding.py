@@ -1,0 +1,99 @@
+"""Parameter sharding rules (FSDP / TP) for arbitrary param pytrees.
+
+Replaces the reference's imperative `apply_fsdp2` / `apply_tensor_parallel`
+(`parallel/ptd.py:466-499`, `models/ltx_video/base_specification.py:415-504`) with
+declarative `NamedSharding` rules: GSPMD derives the all-gather / reduce-scatter
+(FSDP) and head/ffn-dim collectives (TP) automatically.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from .mesh import AXIS_DP_SHARD, AXIS_TP
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def infer_fsdp_spec(
+    shape: Sequence[int],
+    fsdp_size: int,
+    taken_dims: Sequence[int] = (),
+    min_weight_size: int = 2**14,
+) -> Optional[int]:
+    """Pick the dimension to shard for FSDP: the largest dim divisible by
+    `fsdp_size`, skipping dims already taken by TP. Returns None to replicate
+    (small params aren't worth the all-gather latency)."""
+    if fsdp_size <= 1:
+        return None
+    size = 1
+    for s in shape:
+        size *= s
+    if size < min_weight_size:
+        return None
+    candidates = [
+        (s, i) for i, s in enumerate(shape) if i not in taken_dims and s % fsdp_size == 0
+    ]
+    if not candidates:
+        return None
+    # Largest dim wins; ties break toward the first dim (embedding-friendly).
+    best = max(candidates, key=lambda t: (t[0], -t[1]))
+    return best[1]
+
+
+def make_param_shardings(
+    params,
+    mesh: Mesh,
+    tp_rules: Optional[List[Tuple[str, PartitionSpec]]] = None,
+    fsdp_axis: str = AXIS_DP_SHARD,
+    min_weight_size: int = 2**14,
+):
+    """Build a pytree of NamedShardings matching `params`.
+
+    tp_rules: list of (path_regex, PartitionSpec) applied first; any dim the TP
+    spec leaves free may additionally be sharded on the FSDP axis.
+    """
+    tp_rules = tp_rules or []
+    fsdp_size = mesh.shape.get(fsdp_axis, 1)
+
+    def _rule(path, leaf):
+        path_s = _path_str(path)
+        shape = getattr(leaf, "shape", ())
+        spec = [None] * len(shape)
+        taken = []
+        for pattern, tp_spec in tp_rules:
+            if re.search(pattern, path_s):
+                for i, axis in enumerate(tuple(tp_spec)):
+                    if axis is not None and i < len(shape) and shape[i] % mesh.shape.get(AXIS_TP, 1) == 0:
+                        spec[i] = axis
+                        taken.append(i)
+                break
+        fsdp_dim = infer_fsdp_spec(shape, fsdp_size, taken_dims=taken, min_weight_size=min_weight_size)
+        if fsdp_dim is not None:
+            existing = spec[fsdp_dim]
+            if existing is None:
+                spec[fsdp_dim] = fsdp_axis
+            elif isinstance(existing, str):
+                spec[fsdp_dim] = (existing, fsdp_axis)
+        return NamedSharding(mesh, PartitionSpec(*spec))
+
+    return jax.tree_util.tree_map_with_path(_rule, params)
+
+
+def shard_pytree(params, shardings):
+    """Place a host pytree onto the mesh according to a sharding pytree."""
+    return jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s), params, shardings)

@@ -1,0 +1,149 @@
+"""Attention provider numerics: cross-provider allclose vs the math reference and
+ring-attention CP tests (mirrors reference tests/models/attention_dispatch.py:36-260)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from finetrainers_tpu.ops import attention_dispatch, attention_provider, flash_attention, list_providers
+from finetrainers_tpu.ops.ring_attention import ring_attention
+
+
+def _qkv(b=2, sq=96, skv=96, n=4, h=32, dtype=jnp.float32, nkv=None):
+    rng = jax.random.PRNGKey(0)
+    nkv = nkv or n
+    q = jax.random.normal(jax.random.fold_in(rng, 1), (b, sq, n, h), dtype=dtype)
+    k = jax.random.normal(jax.random.fold_in(rng, 2), (b, skv, nkv, h), dtype=dtype)
+    v = jax.random.normal(jax.random.fold_in(rng, 3), (b, skv, nkv, h), dtype=dtype)
+    return q, k, v
+
+
+TOL = {"native": 1e-5, "xla": 1e-5, "flash": 1e-4, "splash": 1e-4}
+
+
+class TestProvidersForward:
+    @pytest.mark.parametrize("provider", ["native", "xla", "flash", "splash"])
+    def test_matches_math(self, provider):
+        q, k, v = _qkv()
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        out = attention_dispatch(q, k, v, provider=provider)
+        np.testing.assert_allclose(out, ref, atol=TOL[provider], rtol=1e-3)
+
+    @pytest.mark.parametrize("provider", ["native", "flash"])
+    def test_kv_lens(self, provider):
+        q, k, v = _qkv()
+        lens = jnp.array([50, 96], dtype=jnp.int32)
+        ref = attention_dispatch(q, k, v, kv_lens=lens, provider="_native_math")
+        out = attention_dispatch(q, k, v, kv_lens=lens, provider=provider)
+        np.testing.assert_allclose(out, ref, atol=TOL[provider], rtol=1e-3)
+
+    @pytest.mark.parametrize("provider", ["native", "flash"])
+    def test_causal(self, provider):
+        q, k, v = _qkv()
+        ref = attention_dispatch(q, k, v, is_causal=True, provider="_native_math")
+        out = attention_dispatch(q, k, v, is_causal=True, provider=provider)
+        np.testing.assert_allclose(out, ref, atol=TOL[provider], rtol=1e-3)
+
+    def test_gqa(self):
+        q, k, v = _qkv(n=4, nkv=2)
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        out = flash_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+    def test_cross_attention_shapes(self):
+        q, k, v = _qkv(sq=128, skv=77)
+        out = flash_attention(q, k, v)
+        assert out.shape == q.shape
+
+    def test_bf16(self):
+        q, k, v = _qkv(dtype=jnp.bfloat16)
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        out = flash_attention(q, k, v)
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), ref.astype(jnp.float32), atol=2e-2, rtol=1e-2
+        )
+
+
+class TestProvidersBackward:
+    @pytest.mark.parametrize("provider", ["flash"])
+    def test_grads_match_math(self, provider):
+        q, k, v = _qkv()
+        lens = jnp.array([50, 96], dtype=jnp.int32)
+
+        def loss(fn):
+            return lambda q, k, v: (fn(q, k, v) ** 2).sum()
+
+        g_ref = jax.grad(
+            loss(lambda q, k, v: attention_dispatch(q, k, v, kv_lens=lens, provider="_native_math")),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g_out = jax.grad(
+            loss(lambda q, k, v: attention_dispatch(q, k, v, kv_lens=lens, provider=provider)),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_out, g_ref):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+class TestProviderRegistry:
+    def test_list(self):
+        providers = list_providers()
+        for expected in ("native", "xla", "flash", "splash", "ring", "_native_math"):
+            assert expected in providers
+
+    def test_context_manager(self):
+        from finetrainers_tpu.ops.attention import get_active_provider
+
+        with attention_provider("flash"):
+            assert get_active_provider() == "flash"
+            with attention_provider("native"):
+                assert get_active_provider() == "native"
+            assert get_active_provider() == "flash"
+
+    def test_unknown_provider_raises(self):
+        with pytest.raises(ValueError):
+            with attention_provider("nonexistent"):
+                pass
+
+
+@pytest.mark.parametrize("cp", [2, 4])
+class TestRingAttentionCP:
+    """CP2/CP4 ring attention vs full-sequence math attention (reference
+    tests/models/attention_dispatch.py:150+ acceptance bar)."""
+
+    def _mesh(self, cp):
+        return Mesh(np.array(jax.devices()[:cp]).reshape(cp), ("cp",))
+
+    def test_forward(self, cp):
+        q, k, v = _qkv(b=1, sq=64, skv=64, n=2, h=32)
+        mesh = self._mesh(cp)
+        fn = jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, axis_name="cp"),
+            mesh=mesh,
+            in_specs=(P(None, "cp"), P(None, "cp"), P(None, "cp")),
+            out_specs=P(None, "cp"),
+            check_vma=False,
+        )
+        out = jax.jit(fn)(q, k, v)
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+    def test_backward(self, cp):
+        q, k, v = _qkv(b=1, sq=64, skv=64, n=2, h=32)
+        mesh = self._mesh(cp)
+        fn = jax.shard_map(
+            lambda q, k, v: ring_attention(q, k, v, axis_name="cp"),
+            mesh=mesh,
+            in_specs=(P(None, "cp"), P(None, "cp"), P(None, "cp")),
+            out_specs=P(None, "cp"),
+            check_vma=False,
+        )
+        g_ring = jax.jit(jax.grad(lambda q, k, v: (fn(q, k, v) ** 2).sum(), argnums=(0, 1, 2)))(q, k, v)
+        g_ref = jax.grad(
+            lambda q, k, v: (attention_dispatch(q, k, v, provider="_native_math") ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_ring, g_ref):
+            np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)

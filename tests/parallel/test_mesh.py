@@ -1,0 +1,107 @@
+"""MeshEnv / sharding-rule tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec
+
+from finetrainers_tpu.parallel import MeshEnv, ParallelDims, infer_fsdp_spec, make_param_shardings, shard_pytree
+
+
+class TestParallelDims:
+    def test_world_size(self):
+        dims = ParallelDims(dp_replicate=2, dp_shard=2, cp=2, tp=1)
+        assert dims.world_size == 8
+
+    def test_pp_raises(self):
+        with pytest.raises(NotImplementedError):
+            ParallelDims(pp=2)
+
+    def test_invalid_degree(self):
+        with pytest.raises(ValueError):
+            ParallelDims(dp_shard=0)
+
+
+class TestMeshEnv:
+    def test_default_fsdp_mesh(self):
+        env = MeshEnv()
+        assert env.world_size == 8
+        assert env.dims.dp_shard == 8
+        assert env.data_sharding_enabled
+
+    def test_mismatched_world_raises(self):
+        with pytest.raises(ValueError):
+            MeshEnv(ParallelDims(dp_shard=3))
+
+    def test_hsdp_mesh(self):
+        env = MeshEnv(ParallelDims(dp_replicate=2, dp_shard=4))
+        assert env.data_replication_enabled and env.data_sharding_enabled
+        assert env.mesh.shape["dp_replicate"] == 2
+        assert env.mesh.shape["dp_shard"] == 4
+
+    def test_data_sharding_batch(self):
+        env = MeshEnv(ParallelDims(dp_replicate=2, dp_shard=4))
+        batch = {"latents": np.zeros((8, 16, 4), dtype=np.float32)}
+        placed = env.shard_batch(batch)
+        shard_shape = placed["latents"].sharding.shard_shape((8, 16, 4))
+        assert shard_shape == (1, 16, 4)
+
+    def test_cp_seq_sharding(self):
+        env = MeshEnv(ParallelDims(dp_shard=2, cp=4))
+        sharding = env.data_sharding(3, seq_dim=1)
+        x = jax.device_put(np.zeros((2, 8, 4), np.float32), sharding)
+        assert x.sharding.shard_shape((2, 8, 4)) == (1, 2, 4)
+
+
+class TestFsdpRules:
+    def test_infer_largest_divisible_dim(self):
+        assert infer_fsdp_spec((1024, 256), 8) == 0
+        assert infer_fsdp_spec((100, 256), 8) == 1  # 100 not divisible by 8
+        assert infer_fsdp_spec((30,), 8) is None  # small param -> replicate
+
+    def test_make_param_shardings(self):
+        env = MeshEnv(ParallelDims(dp_shard=8))
+        params = {
+            "dense": {"kernel": jnp.zeros((512, 256)), "bias": jnp.zeros((256,))},
+        }
+        shardings = make_param_shardings(params, env.mesh)
+        assert shardings["dense"]["kernel"].spec == PartitionSpec("dp_shard", None)
+        assert shardings["dense"]["bias"].spec == PartitionSpec(None)
+
+    def test_tp_rule_composes_with_fsdp(self):
+        env = MeshEnv(ParallelDims(dp_shard=4, tp=2))
+        params = {"attn": {"q_proj": {"kernel": jnp.zeros((512, 768))}}}
+        shardings = make_param_shardings(
+            params, env.mesh, tp_rules=[(r"q_proj.kernel", PartitionSpec(None, "tp"))]
+        )
+        spec = shardings["attn"]["q_proj"]["kernel"].spec
+        assert spec[1] == "tp"
+        assert spec[0] == "dp_shard"
+
+    def test_shard_pytree_places(self):
+        env = MeshEnv(ParallelDims(dp_shard=8))
+        params = {"w": np.ones((64, 16), np.float32)}
+        shardings = make_param_shardings(params, env.mesh, min_weight_size=1)
+        placed = shard_pytree(params, shardings)
+        assert placed["w"].sharding.shard_shape((64, 16)) == (8, 16)
+
+
+class TestTrainStepSemantics:
+    """GSPMD derives DDP/FSDP collectives from shardings: a sharded-param grad step
+    must equal the single-device result."""
+
+    def test_fsdp_matmul_grad_matches_single_device(self):
+        env = MeshEnv(ParallelDims(dp_shard=8))
+        w = np.random.RandomState(0).rand(64, 32).astype(np.float32)
+        x = np.random.RandomState(1).rand(16, 64).astype(np.float32)
+
+        def loss(w, x):
+            return jnp.sum((x @ w) ** 2)
+
+        g_single = jax.grad(loss)(w, x)
+        shardings = make_param_shardings({"w": w}, env.mesh, min_weight_size=1)
+        w_sharded = jax.device_put(w, shardings["w"])
+        x_sharded = jax.device_put(x, env.data_sharding(2))
+        g_sharded = jax.jit(jax.grad(loss))(w_sharded, x_sharded)
+        np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5, atol=1e-5)
