@@ -2,8 +2,9 @@
 
 from __future__ import annotations
 
+import importlib
 from enum import Enum
-from typing import Dict, Type
+from typing import Dict, Tuple
 
 
 class ModelType(str, Enum):
@@ -23,92 +24,71 @@ class TrainingType(str, Enum):
     CONTROL_FULL_FINETUNE = "control-full-finetune"
 
 
-def _specs() -> Dict[ModelType, Dict[TrainingType, Type]]:
-    # Lazy import to avoid pulling heavy model modules at CLI startup.
-    from .models.cogvideox import CogVideoXModelSpecification
-    from .models.cogview4 import CogView4ControlModelSpecification, CogView4ModelSpecification
-    from .models.dummy import DummyModelSpecification
-    from .models.flux import FluxModelSpecification
-    from .models.hunyuan_video import HunyuanVideoModelSpecification
-    from .models.ltx_video import LTXVideoModelSpecification
-    from .models.wan import WanControlModelSpecification, WanModelSpecification
+_SFT = (TrainingType.LORA, TrainingType.FULL_FINETUNE)
+_CONTROL = (TrainingType.CONTROL_LORA, TrainingType.CONTROL_FULL_FINETUNE)
 
-    return {
-        ModelType.COGVIDEOX: {
-            TrainingType.LORA: CogVideoXModelSpecification,
-            TrainingType.FULL_FINETUNE: CogVideoXModelSpecification,
-        },
-        ModelType.COGVIEW4: {
-            TrainingType.LORA: CogView4ModelSpecification,
-            TrainingType.FULL_FINETUNE: CogView4ModelSpecification,
-            TrainingType.CONTROL_LORA: CogView4ControlModelSpecification,
-            TrainingType.CONTROL_FULL_FINETUNE: CogView4ControlModelSpecification,
-        },
-        ModelType.FLUX: {
-            TrainingType.LORA: FluxModelSpecification,
-            TrainingType.FULL_FINETUNE: FluxModelSpecification,
-        },
-        ModelType.HUNYUAN_VIDEO: {
-            TrainingType.LORA: HunyuanVideoModelSpecification,
-            TrainingType.FULL_FINETUNE: HunyuanVideoModelSpecification,
-        },
-        ModelType.LTX_VIDEO: {
-            TrainingType.LORA: LTXVideoModelSpecification,
-            TrainingType.FULL_FINETUNE: LTXVideoModelSpecification,
-        },
-        ModelType.WAN: {
-            TrainingType.LORA: WanModelSpecification,
-            TrainingType.FULL_FINETUNE: WanModelSpecification,
-            TrainingType.CONTROL_LORA: WanControlModelSpecification,
-            TrainingType.CONTROL_FULL_FINETUNE: WanControlModelSpecification,
-        },
-        ModelType.DUMMY: {
-            TrainingType.LORA: DummyModelSpecification,
-            TrainingType.FULL_FINETUNE: DummyModelSpecification,
-        },
-    }
+# model -> {training types}: (module path, class name). Imports resolve lazily so
+# the CLI starts fast and partial installs still work.
+_REGISTRY: Dict[ModelType, Dict[TrainingType, Tuple[str, str]]] = {
+    ModelType.COGVIDEOX: {t: ("finetrainers_tpu.models.cogvideox", "CogVideoXModelSpecification") for t in _SFT},
+    ModelType.COGVIEW4: {
+        **{t: ("finetrainers_tpu.models.cogview4", "CogView4ModelSpecification") for t in _SFT},
+        **{t: ("finetrainers_tpu.models.cogview4", "CogView4ControlModelSpecification") for t in _CONTROL},
+    },
+    ModelType.FLUX: {t: ("finetrainers_tpu.models.flux", "FluxModelSpecification") for t in _SFT},
+    ModelType.HUNYUAN_VIDEO: {
+        t: ("finetrainers_tpu.models.hunyuan_video", "HunyuanVideoModelSpecification") for t in _SFT
+    },
+    ModelType.LTX_VIDEO: {t: ("finetrainers_tpu.models.ltx_video", "LTXVideoModelSpecification") for t in _SFT},
+    ModelType.WAN: {
+        **{t: ("finetrainers_tpu.models.wan", "WanModelSpecification") for t in _SFT},
+        **{t: ("finetrainers_tpu.models.wan", "WanControlModelSpecification") for t in _CONTROL},
+    },
+    ModelType.DUMMY: {t: ("finetrainers_tpu.models.dummy", "DummyModelSpecification") for t in _SFT},
+}
 
 
 class _LazySupportedConfigs:
-    """Dict-like view that defers model imports until first access."""
-
-    def _get(self):
-        return _specs()
+    """Dict-like view over the registry (keys/values resolve imports on access)."""
 
     def __getitem__(self, key):
-        return self._get()[ModelType(key)]
+        return {t: _resolve(*ref) for t, ref in _REGISTRY[ModelType(key)].items()}
 
     def __contains__(self, key):
         try:
-            return ModelType(key) in self._get()
+            return ModelType(key) in _REGISTRY
         except ValueError:
             return False
 
     def items(self):
-        return self._get().items()
+        return [(m, self[m]) for m in _REGISTRY]
 
     def keys(self):
-        return self._get().keys()
+        return _REGISTRY.keys()
 
 
 SUPPORTED_MODEL_CONFIGS = _LazySupportedConfigs()
 
 
+def _resolve(module_path: str, cls_name: str):
+    module = importlib.import_module(module_path)
+    return getattr(module, cls_name)
+
+
 def _get_model_specifiction_cls(model_name: str, training_type: str):
-    """(Name kept reference-compatible, typo included: config.py:66.)"""
+    """(Name kept reference-compatible, typo included: reference config.py:66.)"""
     model_type = ModelType(model_name)
-    specs = _specs()
-    if model_type not in specs:
+    if model_type not in _REGISTRY:
         raise ValueError(
-            f"Model {model_name!r} is not supported. Supported models: {sorted(m.value for m in specs)}"
+            f"Model {model_name!r} is not supported. Supported models: {sorted(m.value for m in _REGISTRY)}"
         )
     tt = TrainingType(training_type)
-    if tt not in specs[model_type]:
+    if tt not in _REGISTRY[model_type]:
         raise ValueError(
             f"Training type {training_type!r} is not supported for model {model_name!r}. "
-            f"Supported training types: {sorted(t.value for t in specs[model_type])}"
+            f"Supported training types: {sorted(t.value for t in _REGISTRY[model_type])}"
         )
-    return specs[model_type][tt]
+    return _resolve(*_REGISTRY[model_type][tt])
 
 
 get_model_specification_cls = _get_model_specifiction_cls

@@ -1,0 +1,482 @@
+"""Streaming datasets with resumable state + multi-resolution bucketing.
+
+Capability parity with reference `finetrainers/data/dataset.py` (8 dataset classes,
+auto-detection, preprocessing wrapper, combining, validation dataset — see SURVEY.md
+§2.6). TPU-first notes: everything here is host-side numpy; decoded samples are
+bucketed to static shapes so each bucket maps to one XLA compilation.
+
+Differences from the reference:
+  - No torch / torchdata: datasets are plain Python iterables implementing the
+    same `state_dict`/`load_state_dict` resume contract (`_sample_index` + skip).
+  - Webdataset tars are read with the stdlib tarfile (no webdataset dep).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+import tarfile
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .. import constants
+from ..functional.image import resize_to_nearest_bucket_image
+from ..functional.text import convert_byte_str_to_str, remove_prefix
+from ..functional.video import resize_to_nearest_bucket_video
+from ..logging import get_logger
+from .utils import load_image, load_video
+
+
+logger = get_logger(__name__)
+
+MAX_PRECOMPUTABLE_ITEMS_LIMIT = 1024
+COMMON_CAPTION_FILES = ["prompt.txt", "prompts.txt", "caption.txt", "captions.txt"]
+COMMON_VIDEO_FILES = ["video.txt", "videos.txt"]
+COMMON_IMAGE_FILES = ["image.txt", "images.txt"]
+
+
+class StatefulIterableDataset:
+    """Base: iterable with `_sample_index` resume (reference dataset.py:36,68)."""
+
+    def __init__(self, infinite: bool = False) -> None:
+        self._infinite = infinite
+        self._sample_index = 0
+        self._precomputable_once = False
+
+    def _samples(self) -> List[Dict[str, Any]]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return len(self._samples())
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        samples = self._samples()
+        if not samples:
+            return
+        while True:
+            while self._sample_index < len(samples):
+                idx = self._sample_index
+                self._sample_index += 1
+                yield dict(samples[idx])
+            if not self._infinite:
+                break
+            self._sample_index = 0
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"sample_index": self._sample_index}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        self._sample_index = state.get("sample_index", 0)
+
+
+def _read_caption_file(path: pathlib.Path) -> str:
+    return path.read_text().strip()
+
+
+class ImageCaptionFilePairDataset(StatefulIterableDataset):
+    """dir of img.png + img.txt pairs (reference dataset.py:44)."""
+
+    media_key = "image"
+    extensions = constants.SUPPORTED_IMAGE_FILE_EXTENSIONS
+
+    def __init__(self, root: str, infinite: bool = False) -> None:
+        super().__init__(infinite)
+        self.root = pathlib.Path(root)
+        data = []
+        for ext in self.extensions:
+            for media in sorted(self.root.glob(f"*.{ext}")):
+                caption_file = media.with_suffix(".txt")
+                if caption_file.exists():
+                    data.append({"caption": _read_caption_file(caption_file), self.media_key: str(media)})
+        self._data = data
+        self._precomputable_once = len(data) <= MAX_PRECOMPUTABLE_ITEMS_LIMIT
+
+    def _samples(self):
+        return self._data
+
+
+class VideoCaptionFilePairDataset(ImageCaptionFilePairDataset):
+    """(reference dataset.py:117)"""
+
+    media_key = "video"
+    extensions = constants.SUPPORTED_VIDEO_FILE_EXTENSIONS
+
+
+class ImageFileCaptionFileListDataset(StatefulIterableDataset):
+    """prompts.txt + images.txt path lists (reference dataset.py:190)."""
+
+    media_key = "image"
+    media_files = COMMON_IMAGE_FILES
+
+    def __init__(self, root: str, infinite: bool = False) -> None:
+        super().__init__(infinite)
+        self.root = pathlib.Path(root)
+        caption_file = next(
+            (self.root / f for f in COMMON_CAPTION_FILES if (self.root / f).exists()), None
+        )
+        media_file = next((self.root / f for f in self.media_files if (self.root / f).exists()), None)
+        if caption_file is None or media_file is None:
+            raise FileNotFoundError(f"Expected caption + media list files in {root}")
+        captions = [l.strip() for l in caption_file.read_text().splitlines() if l.strip()]
+        media = [l.strip() for l in media_file.read_text().splitlines() if l.strip()]
+        if len(captions) != len(media):
+            raise ValueError(f"Caption/media list length mismatch: {len(captions)} vs {len(media)}")
+        self._data = [
+            {"caption": c, self.media_key: str(self.root / m)} for c, m in zip(captions, media)
+        ]
+        self._precomputable_once = len(self._data) <= MAX_PRECOMPUTABLE_ITEMS_LIMIT
+
+    def _samples(self):
+        return self._data
+
+
+class VideoFileCaptionFileListDataset(ImageFileCaptionFileListDataset):
+    """(reference dataset.py:269)"""
+
+    media_key = "video"
+    media_files = COMMON_VIDEO_FILES
+
+
+class ImageFolderDataset(StatefulIterableDataset):
+    """metadata.{csv,jsonl,json} + media files (reference dataset.py:348)."""
+
+    media_key = "image"
+
+    def __init__(self, root: str, infinite: bool = False) -> None:
+        super().__init__(infinite)
+        self.root = pathlib.Path(root)
+        rows = _load_metadata(self.root)
+        caption_col = next((c for c in constants.CAPTION_COLUMN_NAMES if c in rows[0]), None)
+        file_col = next((c for c in ("file_name", "file", "path", "image", "video") if c in rows[0]), None)
+        if caption_col is None or file_col is None:
+            raise ValueError(f"metadata in {root} must contain caption + file_name columns; got {list(rows[0])}")
+        self._data = [
+            {"caption": r[caption_col], self.media_key: str(self.root / r[file_col])} for r in rows
+        ]
+        self._precomputable_once = len(self._data) <= MAX_PRECOMPUTABLE_ITEMS_LIMIT
+
+    def _samples(self):
+        return self._data
+
+
+class VideoFolderDataset(ImageFolderDataset):
+    """(reference dataset.py:385)"""
+
+    media_key = "video"
+
+
+class ImageWebDataset(StatefulIterableDataset):
+    """tar shards with paired entries (key.jpg + key.txt), reference dataset.py:422.
+    Weighted multi-caption-column selection is supported via `caption_weights`."""
+
+    media_key = "image"
+    media_exts = constants.SUPPORTED_IMAGE_FILE_EXTENSIONS
+
+    def __init__(self, root: str, infinite: bool = False, caption_weights: Optional[Dict[str, float]] = None) -> None:
+        super().__init__(infinite)
+        self.root = pathlib.Path(root)
+        self.caption_weights = caption_weights or {}
+        self._tars = sorted(self.root.glob("*.tar")) if self.root.is_dir() else [self.root]
+        self._index: List[Tuple[str, str]] = []  # (tar path, sample key)
+        for tar_path in self._tars:
+            with tarfile.open(tar_path) as tf:
+                keys: Dict[str, Dict[str, str]] = {}
+                for member in tf.getmembers():
+                    if not member.isfile():
+                        continue
+                    stem, _, ext = member.name.rpartition(".")
+                    keys.setdefault(stem, {})[ext.lower()] = member.name
+                for stem, entries in sorted(keys.items()):
+                    if any(e in entries for e in self.media_exts):
+                        self._index.append((str(tar_path), stem))
+        self._precomputable_once = len(self._index) <= MAX_PRECOMPUTABLE_ITEMS_LIMIT
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __iter__(self):
+        if not self._index:
+            return
+        while True:
+            while self._sample_index < len(self._index):
+                tar_path, stem = self._index[self._sample_index]
+                self._sample_index += 1
+                yield self._load(tar_path, stem)
+            if not self._infinite:
+                break
+            self._sample_index = 0
+
+    def _load(self, tar_path: str, stem: str) -> Dict[str, Any]:
+        import io
+
+        with tarfile.open(tar_path) as tf:
+            entries = {m.name.rpartition(".")[2].lower(): m for m in tf.getmembers()
+                       if m.isfile() and m.name.rpartition(".")[0] == stem}
+            sample: Dict[str, Any] = {}
+            caption_candidates: Dict[str, str] = {}
+            for ext, member in entries.items():
+                payload = tf.extractfile(member).read()
+                if ext in self.media_exts:
+                    sample[self.media_key + "_bytes"] = payload
+                    sample[self.media_key + "_ext"] = ext
+                elif ext in ("txt",):
+                    caption_candidates["txt"] = payload.decode("utf-8", "replace")
+                elif ext == "json":
+                    meta = json.loads(payload)
+                    for col in constants.CAPTION_COLUMN_NAMES:
+                        if col in meta and isinstance(meta[col], str):
+                            caption_candidates[col] = meta[col]
+            if caption_candidates:
+                if self.caption_weights:
+                    cols = [c for c in caption_candidates if c in self.caption_weights]
+                    if cols:
+                        weights = [self.caption_weights[c] for c in cols]
+                        chosen = random.choices(cols, weights=weights, k=1)[0]
+                    else:
+                        chosen = next(iter(caption_candidates))
+                else:
+                    chosen = next(iter(caption_candidates))
+                sample["caption"] = convert_byte_str_to_str(caption_candidates[chosen])
+            else:
+                sample["caption"] = ""
+            return sample
+
+
+class VideoWebDataset(ImageWebDataset):
+    """(reference dataset.py:516)"""
+
+    media_key = "video"
+    media_exts = constants.SUPPORTED_VIDEO_FILE_EXTENSIONS
+
+
+class ValidationDataset:
+    """CSV/JSON/JSONL/PARQUET/ARROW file -> iterable of dicts; aliases caption->prompt
+    and loads media paths (reference dataset.py:609-674)."""
+
+    def __init__(self, filename: str) -> None:
+        path = pathlib.Path(filename)
+        ext = path.suffix.lower()
+        if ext == ".csv":
+            import csv
+
+            with open(path, newline="") as f:
+                self.rows = [dict(r) for r in csv.DictReader(f)]
+        elif ext in (".json",):
+            data = json.loads(path.read_text())
+            self.rows = data["data"] if isinstance(data, dict) and "data" in data else data
+        elif ext in (".jsonl",):
+            self.rows = [json.loads(l) for l in path.read_text().splitlines() if l.strip()]
+        elif ext in (".parquet", ".arrow"):
+            import pandas as pd
+
+            df = pd.read_parquet(path) if ext == ".parquet" else pd.read_feather(path)
+            self.rows = df.to_dict("records")
+        else:
+            raise ValueError(f"Unsupported validation dataset format: {ext}")
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        for row in self.rows:
+            out = dict(row)
+            if "caption" in out and "prompt" not in out:
+                out["prompt"] = out.pop("caption")
+            for key in list(out):
+                if key in ("image_path", "control_image_path"):
+                    out[key.replace("_path", "")] = load_image(out[key], to_float=False)
+                elif key in ("video_path", "control_video_path"):
+                    out[key.replace("_path", "")] = load_video(out[key], to_float=False)
+            # Numeric fields arrive as strings from CSV
+            for key in ("height", "width", "num_frames", "num_inference_steps", "frame_rate"):
+                if key in out and isinstance(out[key], str) and out[key].strip():
+                    out[key] = int(float(out[key]))
+            yield out
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+
+class IterableDatasetPreprocessingWrapper:
+    """Decode + bucket + caption cleanup (reference dataset.py:677-773)."""
+
+    def __init__(
+        self,
+        dataset: StatefulIterableDataset,
+        dataset_type: str,
+        id_token: Optional[str] = None,
+        image_resolution_buckets: Optional[List[Tuple[int, int]]] = None,
+        video_resolution_buckets: Optional[List[Tuple[int, int, int]]] = None,
+        reshape_mode: str = "bicubic",
+        remove_common_llm_caption_prefixes: bool = False,
+        **kwargs,
+    ) -> None:
+        self.dataset = dataset
+        self.dataset_type = dataset_type
+        self.id_token = id_token
+        self.image_resolution_buckets = image_resolution_buckets
+        self.video_resolution_buckets = video_resolution_buckets
+        self.reshape_mode = reshape_mode
+        self.remove_common_llm_caption_prefixes = remove_common_llm_caption_prefixes
+        self._precomputable_once = getattr(dataset, "_precomputable_once", False)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        for sample in self.dataset:
+            out = self._process(sample)
+            if out is not None:
+                yield out
+
+    def _process(self, sample: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        caption = sample.get("caption", "")
+        if self.remove_common_llm_caption_prefixes:
+            caption = remove_prefix(caption, constants.COMMON_LLM_START_PHRASES)
+        if self.id_token:
+            caption = f"{self.id_token} {caption}"
+        out: Dict[str, Any] = {"caption": caption}
+
+        try:
+            if self.dataset_type == "image":
+                image = self._decode_image(sample)
+                if self.image_resolution_buckets:
+                    image = resize_to_nearest_bucket_image(image, self.image_resolution_buckets, self.reshape_mode)
+                out["image"] = np.ascontiguousarray(image)
+            else:
+                video = self._decode_video(sample)
+                if self.video_resolution_buckets:
+                    video, first_frame_only = resize_to_nearest_bucket_video(
+                        video, self.video_resolution_buckets, self.reshape_mode
+                    )
+                    if first_frame_only:
+                        video = video[:1]
+                out["video"] = np.ascontiguousarray(video)
+        except (FileNotFoundError, ValueError) as e:
+            logger.warning(f"Skipping sample: {e}")
+            return None
+        return out
+
+    def _decode_image(self, sample) -> np.ndarray:
+        if "image_bytes" in sample:
+            import cv2
+
+            buf = np.frombuffer(sample["image_bytes"], np.uint8)
+            img = cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            return np.moveaxis(img.astype(np.float32) / 127.5 - 1.0, -1, 0)
+        value = sample["image"]
+        return value if isinstance(value, np.ndarray) else load_image(value)
+
+    def _decode_video(self, sample) -> np.ndarray:
+        if "video_bytes" in sample:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix="." + sample.get("video_ext", "mp4")) as f:
+                f.write(sample["video_bytes"])
+                f.flush()
+                return load_video(f.name)
+        value = sample["video"]
+        return value if isinstance(value, np.ndarray) else load_video(value)
+
+    def state_dict(self):
+        return self.dataset.state_dict()
+
+    def load_state_dict(self, state):
+        self.dataset.load_state_dict(state)
+
+
+class IterableCombinedDataset:
+    """Round-robin buffered combination with optional shuffle
+    (reference dataset.py:776-820)."""
+
+    def __init__(self, datasets: List[Any], buffer_size: int = 1, shuffle: bool = False, seed: int = 0) -> None:
+        self.datasets = datasets
+        self.buffer_size = max(buffer_size, 1)
+        self.shuffle = shuffle
+        self._rng = random.Random(seed)
+        self._precomputable_once = all(getattr(d, "_precomputable_once", False) for d in datasets)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        iterators = [iter(d) for d in self.datasets]
+        buffer: List[Dict[str, Any]] = []
+        active = list(range(len(iterators)))
+        while active:
+            for idx in list(active):
+                try:
+                    buffer.append(next(iterators[idx]))
+                except StopIteration:
+                    active.remove(idx)
+            if len(buffer) >= self.buffer_size or not active:
+                if self.shuffle:
+                    self._rng.shuffle(buffer)
+                yield from buffer
+                buffer = []
+
+    def state_dict(self):
+        return {"datasets": [d.state_dict() for d in self.datasets]}
+
+    def load_state_dict(self, state):
+        for d, s in zip(self.datasets, state.get("datasets", [])):
+            d.load_state_dict(s)
+
+
+# ------------------------------------------------------------------ detection
+
+
+def initialize_dataset(
+    dataset_name_or_root: str,
+    dataset_type: str = "video",
+    streaming: bool = True,
+    infinite: bool = False,
+    caption_options: Optional[Dict[str, Any]] = None,
+):
+    """Auto-detect the dataset layout (reference dataset.py:824-1002)."""
+    root = pathlib.Path(dataset_name_or_root)
+    if not root.exists():
+        raise FileNotFoundError(
+            f"{dataset_name_or_root} does not exist locally (hub streaming requires network access)"
+        )
+    cls_image = dataset_type == "image"
+
+    if root.is_file() and root.suffix == ".tar":
+        cls = ImageWebDataset if cls_image else VideoWebDataset
+        return cls(str(root), infinite=infinite, **(caption_options or {}))
+
+    has = lambda name: (root / name).exists()
+    if any(has(m) for m in ("metadata.json", "metadata.jsonl", "metadata.csv")):
+        cls = ImageFolderDataset if cls_image else VideoFolderDataset
+        return cls(str(root), infinite=infinite)
+    if list(root.glob("*.tar")):
+        cls = ImageWebDataset if cls_image else VideoWebDataset
+        return cls(str(root), infinite=infinite, **(caption_options or {}))
+    if any(has(f) for f in COMMON_CAPTION_FILES) and (
+        any(has(f) for f in COMMON_VIDEO_FILES) or any(has(f) for f in COMMON_IMAGE_FILES)
+    ):
+        cls = ImageFileCaptionFileListDataset if cls_image else VideoFileCaptionFileListDataset
+        return cls(str(root), infinite=infinite)
+    # caption-file pair layout
+    cls = ImageCaptionFilePairDataset if cls_image else VideoCaptionFilePairDataset
+    ds = cls(str(root), infinite=infinite)
+    if len(ds) == 0:
+        raise ValueError(f"Could not detect a supported dataset layout under {root}")
+    return ds
+
+
+def combine_datasets(datasets: List[Any], buffer_size: int = 1, shuffle: bool = False) -> Any:
+    if len(datasets) == 1 and buffer_size <= 1 and not shuffle:
+        return datasets[0]
+    return IterableCombinedDataset(datasets, buffer_size=buffer_size, shuffle=shuffle)
+
+
+def wrap_iterable_dataset_for_preprocessing(dataset, dataset_type: str, config: Dict[str, Any]):
+    return IterableDatasetPreprocessingWrapper(dataset, dataset_type, **config)
+
+
+def _load_metadata(root: pathlib.Path) -> List[Dict[str, Any]]:
+    if (root / "metadata.csv").exists():
+        import csv
+
+        with open(root / "metadata.csv", newline="") as f:
+            return [dict(r) for r in csv.DictReader(f)]
+    if (root / "metadata.jsonl").exists():
+        return [json.loads(l) for l in (root / "metadata.jsonl").read_text().splitlines() if l.strip()]
+    if (root / "metadata.json").exists():
+        data = json.loads((root / "metadata.json").read_text())
+        return data if isinstance(data, list) else data["data"]
+    raise FileNotFoundError(f"No metadata file in {root}")

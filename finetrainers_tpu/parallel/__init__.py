@@ -1,5 +1,5 @@
 from .mesh import AXIS_CP, AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_TP, BATCH_AXES, MeshEnv, ParallelDims
-from .sharding import infer_fsdp_spec, make_param_shardings, shard_pytree
+from .sharding import derive_opt_state_shardings, infer_fsdp_spec, make_param_shardings, shard_pytree
 from .utils import dist_max, dist_mean
 
 
@@ -11,6 +11,7 @@ __all__ = [
     "BATCH_AXES",
     "MeshEnv",
     "ParallelDims",
+    "derive_opt_state_shardings",
     "infer_fsdp_spec",
     "make_param_shardings",
     "shard_pytree",

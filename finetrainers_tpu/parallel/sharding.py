@@ -97,3 +97,38 @@ def make_param_shardings(
 def shard_pytree(params, shardings):
     """Place a host pytree onto the mesh according to a sharding pytree."""
     return jax.tree_util.tree_map(lambda x, s: jax.device_put(x, s), params, shardings)
+
+
+def derive_opt_state_shardings(opt_state_abstract, param_shardings, mesh: Mesh,
+                               min_weight_size: int = 2**14):
+    """Shardings for an optax state pytree: optimizer moments (mu/nu/acc_grads)
+    mirror the param tree, so each state leaf whose path *suffix* matches a param
+    path inherits that param's sharding; scalars are replicated; anything else
+    falls back to the shape-driven FSDP rule."""
+    flat_params: dict = {}
+
+    def _collect(path, sharding):
+        keys = tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat_params[keys] = sharding
+
+    jax.tree_util.tree_map_with_path(_collect, param_shardings)
+    replicated = NamedSharding(mesh, PartitionSpec())
+    fsdp_size = mesh.shape.get(AXIS_DP_SHARD, 1)
+
+    def _rule(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) == 0:
+            return replicated
+        keys = tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        for i in range(len(keys)):
+            suffix = keys[i:]
+            sh = flat_params.get(suffix)
+            if sh is not None:
+                return sh
+        dim = infer_fsdp_spec(shape, fsdp_size, min_weight_size=min_weight_size)
+        spec = [None] * len(shape)
+        if dim is not None:
+            spec[dim] = AXIS_DP_SHARD
+        return NamedSharding(mesh, PartitionSpec(*spec))
+
+    return jax.tree_util.tree_map_with_path(_rule, opt_state_abstract)

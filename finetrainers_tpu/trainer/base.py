@@ -1,0 +1,85 @@
+"""Trainer base: distributed init, determinism, attention-provider contexts.
+
+Parity with reference `finetrainers/trainer/base.py:22-188`. The reference installs
+per-module forward hooks to lazily switch attention providers mid-forward
+(`LatestActiveModuleHook`); here providers are explicit arguments flowing through
+`attention_provider_ctx`, because we own every forward.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Dict, List, Optional, Tuple
+
+import jax
+
+from ..args import BaseArgs
+from ..logging import get_logger
+from ..ops.attention import _AttentionProviderRegistry, attention_provider
+from ..parallel import MeshEnv, ParallelDims
+from ..state import State
+
+
+logger = get_logger(__name__)
+
+
+class Trainer:
+    def __init__(self, args: BaseArgs, model_specification) -> None:
+        self.args = args
+        self.model_specification = model_specification
+        self.state = State()
+
+        self.attn_provider_training = self._parse_attention_providers(args.attn_provider_training)
+        self.attn_provider_inference = self._parse_attention_providers(args.attn_provider_inference)
+
+        self._init_distributed()
+        self._init_determinism()
+
+    # ------------------------------------------------------------------ setup
+    def _init_distributed(self) -> None:
+        dims = ParallelDims.from_args(self.args)
+        n = jax.device_count()
+        if dims.world_size == 1 and n > 1:
+            # Single-degree args on a multi-chip host: default to FSDP over all
+            # devices (the reference requires torchrun world sizing; JAX sees all
+            # local chips automatically).
+            dims = ParallelDims(dp_shard=n)
+        self.mesh_env = MeshEnv(dims)
+        logger.info(
+            f"Initialized mesh: {dict(self.mesh_env.mesh.shape)} over {self.mesh_env.world_size} device(s)"
+        )
+
+    def _init_determinism(self) -> None:
+        seed = self.args.seed if self.args.seed is not None else 0
+        self.rng = jax.random.PRNGKey(seed)
+
+    @staticmethod
+    def _parse_attention_providers(mapping: Optional[List[str]]) -> Dict[str, str]:
+        """["transformer:flash", "vae:native"] -> {"transformer": "flash"}
+        (reference trainer/base.py:148-159)."""
+        out: Dict[str, str] = {}
+        for entry in mapping or []:
+            if ":" in entry:
+                module, provider = entry.rsplit(":", 1)
+            else:
+                module, provider = "transformer", entry
+            out[module] = provider
+        return out
+
+    @contextlib.contextmanager
+    def attention_provider_ctx(self, training: bool = True, module: str = "transformer"):
+        """Activate the configured provider for a module scope, and the CP mesh
+        axis when context parallelism is on (reference trainer/base.py:37-90)."""
+        mapping = self.attn_provider_training if training else self.attn_provider_inference
+        provider = mapping.get(module)
+        registry = _AttentionProviderRegistry
+        if self.mesh_env.context_parallel_enabled and module == "transformer":
+            registry._set_context_parallel(mesh=self.mesh_env.mesh, axis="cp")
+        try:
+            if provider is not None:
+                with attention_provider(provider):
+                    yield
+            else:
+                yield
+        finally:
+            registry._set_context_parallel(None, None)

@@ -1,0 +1,472 @@
+"""SFT trainer: the full LoRA / full-finetune training lifecycle.
+
+Parity with reference `finetrainers/trainer/sft_trainer/trainer.py:33-946`:
+`run()` = prepare models -> trainable params -> training -> dataset ->
+checkpointing -> train loop, with precomputation, resolution-bucketed batching,
+grad accumulation, grad-norm clipping, loss tracking, checkpoint/resume
+(incl. dataloader position), validation sampling, and LoRA/model export.
+
+TPU-native redesign:
+  - One jitted `train_step` per resolution bucket (static shapes); GSPMD derives
+    DDP/FSDP/HSDP/TP collectives from the param/batch shardings (no wrapper
+    modules — compare reference `_prepare_for_training` :138-234).
+  - Gradient accumulation via `optax.MultiSteps` inside the step (no Python-side
+    `loss.backward()` bookkeeping).
+  - Donated params/opt-state buffers (in-place update, halves peak HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import pathlib
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...data import (
+    DPDataLoader,
+    ResolutionSampler,
+    ValidationDataset,
+    combine_datasets,
+    initialize_dataset,
+    initialize_preprocessor,
+    wrap_iterable_dataset_for_preprocessing,
+)
+from ...functional.diffusion import compute_loss_weighting
+from ...logging import get_logger
+from ...lora import lora_mask, merge_params, split_params, trainable_mask
+from ...models.modeling_utils import ModelHandle, count_params
+from ...optimizer import get_lr_scheduler, get_optimizer
+from ...parallel import make_param_shardings, shard_pytree
+from ...parallel.checkpoint import OrbaxCheckpointer
+from ...trackers import initialize_trackers
+from ...utils.memory import get_memory_statistics
+from ..base import Trainer
+
+
+logger = get_logger(__name__)
+
+
+class SFTTrainer(Trainer):
+    def __init__(self, args, model_specification) -> None:
+        super().__init__(args, model_specification)
+        self.transformer: Optional[ModelHandle] = None
+        self.vae: Optional[ModelHandle] = None
+        self.scheduler = None
+        self.checkpointer: Optional[OrbaxCheckpointer] = None
+        self._train_step_fn = None
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> None:
+        try:
+            self._prepare_models()
+            self._prepare_trainable_parameters()
+            self._prepare_for_training()
+            self._prepare_dataset()
+            self._prepare_checkpointing()
+            self._train()
+        except Exception as e:
+            logger.error(f"Error during training: {e}")
+            raise
+        finally:
+            if self.checkpointer is not None:
+                self.checkpointer.wait_until_finished()
+            self.mesh_env.destroy()
+
+    # ---------------------------------------------------------------- prepare
+    def _prepare_models(self) -> None:
+        spec = self.model_specification
+        if self.args.training_type in ("lora",):
+            spec.lora_rank = getattr(self.args, "rank", 64)
+            spec.lora_alpha = getattr(self.args, "lora_alpha", 64)
+        diffusion = spec.load_diffusion_models()
+        self.transformer = diffusion["transformer"]
+        self.scheduler = diffusion["scheduler"]
+        latents = spec.load_latent_models()
+        self.vae = latents["vae"]
+        self.condition_models = spec.load_condition_models()
+
+    def _prepare_trainable_parameters(self) -> None:
+        params = self.transformer.params
+        if self.args.training_type == "lora":
+            mask = lora_mask(params)
+        else:
+            mask = trainable_mask(params, lambda s: True)
+        self._trainable_mask = mask
+        trainable, frozen = split_params(params, mask)
+
+        # Declarative sharding: FSDP dim inference + per-model TP rules.
+        shardings = make_param_shardings(
+            params, self.mesh_env.mesh, tp_rules=self.model_specification.tp_rules()
+        )
+        self._param_shardings = shardings
+        t_shard = jax.tree_util.tree_map(lambda x, m, s: s if m else None, params, mask, shardings)
+        f_shard = jax.tree_util.tree_map(lambda x, m, s: None if m else s, params, mask, shardings)
+        self._t_shard = t_shard
+        self._trainable = shard_pytree(
+            jax.tree_util.tree_map(lambda x: x, trainable),
+            t_shard,
+        )
+        self._frozen = shard_pytree(frozen, f_shard)
+        n_train = count_params(self._trainable)
+        n_total = count_params(params)
+        self.state.num_trainable_parameters = n_train
+        logger.info(f"Trainable params: {n_train:,} / {n_total:,}")
+
+    def _prepare_for_training(self) -> None:
+        args = self.args
+        schedule = get_lr_scheduler(
+            args.lr_scheduler, args.lr, warmup_steps=args.lr_warmup_steps,
+            train_steps=args.train_steps, num_cycles=args.lr_num_cycles, power=args.lr_power,
+        )
+        self._lr_schedule = schedule
+        base_opt = get_optimizer(
+            args.optimizer, schedule, beta1=args.beta1, beta2=args.beta2, beta3=args.beta3,
+            epsilon=args.epsilon, weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
+        )
+        if args.gradient_accumulation_steps > 1:
+            self.optimizer = optax.MultiSteps(base_opt, args.gradient_accumulation_steps)
+        else:
+            self.optimizer = base_opt
+        # Optimizer moments inherit the param shardings (suffix-path matching);
+        # counters are replicated. Init under jit with explicit out_shardings.
+        from ...parallel import derive_opt_state_shardings
+
+        abstract_opt = jax.eval_shape(self.optimizer.init, self._trainable)
+        self._opt_shardings = derive_opt_state_shardings(
+            abstract_opt, self._t_shard, self.mesh_env.mesh
+        )
+        self._opt_state = jax.jit(self.optimizer.init, out_shardings=self._opt_shardings)(self._trainable)
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        self.tracker = initialize_trackers(
+            [args.report_to] if args.report_to != "none" else ["jsonl"],
+            experiment_name=args.tracker_name,
+            config=_jsonable(self.args.to_dict()),
+            log_dir=os.path.join(args.output_dir, args.logging_dir),
+            is_main_process=self.mesh_env.is_main_process,
+        )
+        self._train_step_fn = self._build_train_step()
+
+    def _build_train_step(self):
+        spec = self.model_specification
+        scheduler = self.scheduler
+        module = self.transformer.module
+        config = self.transformer.config
+        optimizer = self.optimizer
+        args = self.args
+        gradient_checkpointing = args.gradient_checkpointing
+
+        def train_step(trainable, frozen, opt_state, batch, rng):
+            rng_sigmas, rng_fwd = jax.random.split(rng)
+            latents = batch["latents"]
+            batch_size = latents.shape[0]
+            sigmas = scheduler.training_sigmas(
+                rng_sigmas, batch_size,
+                flow_weighting_scheme=args.flow_weighting_scheme,
+                flow_logit_mean=args.flow_logit_mean,
+                flow_logit_std=args.flow_logit_std,
+                flow_mode_scale=args.flow_mode_scale,
+            )
+            if args.flow_shift != 1.0 and hasattr(scheduler, "shift") and scheduler.shift == 1.0:
+                from ...functional.diffusion import default_flow_shift
+
+                sigmas = default_flow_shift(sigmas, args.flow_shift)
+
+            conditions = {k: v for k, v in batch.items() if k != "latents"}
+
+            def forward(params, sigmas, rng_fwd):
+                handle = ModelHandle(module, params, config)
+                return spec.forward(handle, conditions, {"latents": latents}, sigmas, rng_fwd)
+
+            if gradient_checkpointing:
+                forward = jax.checkpoint(forward)
+
+            def loss_fn(trainable):
+                params = merge_params(trainable, frozen)
+                pred, target, sigmas_out = forward(params, sigmas, rng_fwd)
+                alphas = getattr(scheduler, "alphas", None)
+                if alphas is not None:
+                    timesteps = jnp.clip(
+                        (sigmas_out * scheduler.num_train_timesteps).astype(jnp.int32),
+                        0, scheduler.num_train_timesteps - 1,
+                    )
+                    weights = compute_loss_weighting(args.flow_weighting_scheme, alphas=alphas[timesteps])
+                else:
+                    weights = compute_loss_weighting(args.flow_weighting_scheme, sigmas=sigmas_out)
+                w = weights.reshape(weights.shape + (1,) * (pred.ndim - 1))
+                per_sample = w * (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+                loss = jnp.mean(per_sample)
+                max_loss = jnp.max(jnp.mean(per_sample, axis=tuple(range(1, per_sample.ndim))))
+                return loss, max_loss
+
+            (loss, max_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss, max_loss, grad_norm
+
+        return jax.jit(train_step, donate_argnums=(0, 2))
+
+    def _prepare_dataset(self) -> None:
+        args = self.args
+        with open(args.dataset_config) as f:
+            config = json.load(f)
+        datasets = []
+        for entry in config["datasets"]:
+            root = entry.get("data_root") or entry.get("dataset_file")
+            dataset_type = entry.get("dataset_type", "video")
+            ds = initialize_dataset(root, dataset_type, infinite=True)
+            wrapped = wrap_iterable_dataset_for_preprocessing(
+                ds,
+                dataset_type,
+                {
+                    "id_token": entry.get("id_token"),
+                    "image_resolution_buckets": [tuple(b) for b in entry.get("image_resolution_buckets", []) or []] or None,
+                    "video_resolution_buckets": [tuple(b) for b in entry.get("video_resolution_buckets", []) or []] or None,
+                    "reshape_mode": entry.get("reshape_mode", "bicubic"),
+                    "remove_common_llm_caption_prefixes": entry.get("remove_common_llm_caption_prefixes", False),
+                },
+            )
+            datasets.append(wrapped)
+        self.dataset = combine_datasets(datasets, buffer_size=args.dataset_shuffle_buffer_size,
+                                        shuffle=args.dataset_shuffle_buffer_size > 1)
+        self.dataloader = DPDataLoader(
+            rank=jax.process_index(),
+            dataset=self.dataset,
+            batch_size=1,
+            num_workers=args.dataloader_num_workers,
+            collate_fn=lambda items: items[0],
+            num_replicas=jax.process_count(),
+        )
+
+        spec = self.model_specification
+        vae = self.vae
+
+        def process_condition(**sample):
+            caption = sample.get("caption", "")
+            return spec.prepare_conditions(caption=caption, **self.condition_models)
+
+        def process_latent(**sample):
+            return spec.prepare_latents(
+                vae=vae, image=sample.get("image"), video=sample.get("video"),
+                compute_posterior=False,
+            )
+
+        self.preprocessor = initialize_preprocessor(
+            rank=jax.process_index(),
+            num_items=args.precomputation_items if args.enable_precomputation else args.batch_size * 2,
+            processor_fn={"condition": process_condition, "latent": process_latent},
+            save_dir=args.precomputation_dir or os.path.join(args.output_dir, "precomputed"),
+            enable_precomputation=args.enable_precomputation,
+        )
+        self._data_iterator = iter(self.dataloader)
+
+    def _prepare_checkpointing(self) -> None:
+        args = self.args
+
+        def export_callback(state: Dict[str, Any]) -> None:
+            if not self.mesh_env.is_main_process:
+                return
+            step = int(self.state.train_state.step)
+            if args.training_type == "lora":
+                lora_dir = os.path.join(args.output_dir, "lora_weights", f"{step:06d}")
+                lora_config = {
+                    "r": getattr(args, "rank", 64),
+                    "lora_alpha": getattr(args, "lora_alpha", 64),
+                    "target_modules": getattr(args, "target_modules", ""),
+                }
+                self.model_specification._save_lora_weights(lora_dir, state["trainable"], lora_config)
+            else:
+                model_dir = os.path.join(args.output_dir, "model_weights", f"{step:06d}")
+                params = merge_params(state["trainable"], self._frozen)
+                self.model_specification._save_model(
+                    model_dir, ModelHandle(self.transformer.module, params, self.transformer.config)
+                )
+
+        self.checkpointer = OrbaxCheckpointer(
+            output_dir=os.path.join(args.output_dir, "checkpoints"),
+            checkpointing_steps=args.checkpointing_steps,
+            checkpointing_limit=args.checkpointing_limit,
+            callback_fn=export_callback,
+        )
+
+        if args.resume_from_checkpoint is not None:
+            step = -1 if args.resume_from_checkpoint == "latest" else int(args.resume_from_checkpoint)
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                {"trainable": self._trainable, "opt_state": self._opt_state},
+            )
+            restored = self.checkpointer.load(step, abstract_state=abstract)
+            if restored is not None:
+                step, state, metadata = restored
+                self._trainable = state["trainable"]
+                self._opt_state = state["opt_state"]
+                self.state.train_state.load_state_dict(metadata.get("train_state", {}))
+                if "dataloader" in metadata:
+                    self.dataloader.load_state_dict(metadata["dataloader"])
+                    self._data_iterator = iter(self.dataloader)
+                logger.info(f"Resumed from checkpoint at step {self.state.train_state.step}")
+
+    # ------------------------------------------------------------------ train
+    def _train(self) -> None:
+        args = self.args
+        train_state = self.state.train_state
+        logger.info(f"Memory before training: {get_memory_statistics()}")
+        logger.info(f"Starting training: {args.train_steps} steps")
+
+        # --batch_size is per-data-parallel-rank (reference semantics); the global
+        # batch fed to the jitted step covers every dp shard.
+        global_batch_size = args.batch_size * self.mesh_env.local_batch_size_divisor
+        sampler = ResolutionSampler(global_batch_size, self.model_specification._resolution_dim_keys)
+        condition_iter = None
+        latent_iter = None
+
+        step_times: List[float] = []
+        while train_state.step < args.train_steps and train_state.observed_data_samples < args.max_data_samples:
+            # Refill processed-data iterators when drained (reference :401-402,824-917)
+            if condition_iter is None or self.preprocessor.requires_data:
+                with self.tracker.timed("timing/precompute"):
+                    consume = (
+                        self.preprocessor.consume_once
+                        if args.precomputation_once or getattr(self.dataset, "_precomputable_once", False)
+                        else self.preprocessor.consume
+                    )
+                    condition_iter = iter(consume(
+                        "condition", self._data_iterator, cache_samples=True,
+                    ))
+                    latent_iter = iter(consume(
+                        "latent", self._data_iterator, use_cached_samples=True, drop_samples=True,
+                    ))
+
+            with self.tracker.timed("timing/batch_prep"):
+                try:
+                    cond = next(condition_iter)
+                    lat = next(latent_iter)
+                except StopIteration:
+                    condition_iter = None
+                    continue
+                sampler.consume(cond, lat)
+                if not sampler.ready:
+                    continue
+                cond_list, lat_list = sampler.get_batch()
+                cond_batch = self.model_specification.collate_conditions(cond_list)
+                lat_batch = self.model_specification.collate_latents(lat_list)
+                batch = {**cond_batch, **lat_batch}
+                seq_dims = self.model_specification.cp_plan() if self.mesh_env.context_parallel_enabled else {}
+                batch = self.mesh_env.shard_batch(batch, seq_dims=seq_dims)
+
+            t0 = time.perf_counter()
+            with self.tracker.timed("timing/train_step"), self.attention_provider_ctx(training=True):
+                step_rng = jax.random.fold_in(self.rng, train_state.step)
+                self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_fn(
+                    self._trainable, self._frozen, self._opt_state, batch, step_rng
+                )
+
+            train_state.step += 1
+            train_state.observed_data_samples += global_batch_size
+
+            if train_state.step % args.logging_steps == 0:
+                loss_f = float(loss)
+                step_times.append(time.perf_counter() - t0)
+                train_state.global_avg_losses.append(loss_f)
+                train_state.global_max_losses.append(float(max_loss))
+                train_state.log_steps.append(train_state.step)
+                self.tracker.log(
+                    {
+                        "train/global_avg_loss": loss_f,
+                        "train/global_max_loss": float(max_loss),
+                        "train/grad_norm": float(grad_norm),
+                        "train/lr": float(self._lr_schedule(train_state.step)),
+                        "train/observed_data_samples": train_state.observed_data_samples,
+                    },
+                    step=train_state.step,
+                )
+                logger.info(
+                    f"step {train_state.step}/{args.train_steps} loss={loss_f:.4f} "
+                    f"grad_norm={float(grad_norm):.4f}",
+                    frequency=max(1, 50 // max(args.logging_steps, 1)),
+                    frequency_key="train-progress",
+                )
+
+            if args.checkpointing_steps > 0 and train_state.step % args.checkpointing_steps == 0:
+                self._save_checkpoint()
+
+            if args.validation_steps > 0 and args.validation_dataset_file and (
+                train_state.step % args.validation_steps == 0
+            ):
+                self._validate(train_state.step)
+
+        self._save_checkpoint(force=True)
+        if args.validation_dataset_file:
+            self._validate(train_state.step, final=True)
+        logger.info(f"Memory after training: {get_memory_statistics()}")
+        self.tracker.finish()
+
+    def _save_checkpoint(self, force: bool = False) -> None:
+        if self.checkpointer.latest_step() == self.state.train_state.step:
+            return  # cadence save already covered this step (final-save overlap)
+        with self.tracker.timed("timing/checkpoint"):
+            metadata = {
+                "train_state": self.state.train_state.state_dict(),
+                "dataloader": _jsonable(self.dataloader.state_dict()),
+            }
+            self.checkpointer.save(
+                self.state.train_state.step,
+                {"trainable": self._trainable, "opt_state": self._opt_state},
+                metadata=metadata,
+                force=force,
+            )
+
+    # -------------------------------------------------------------- validation
+    def _validate(self, step: int, final: bool = False) -> None:
+        args = self.args
+        logger.info(f"Running validation at step {step}")
+        dataset = ValidationDataset(args.validation_dataset_file)
+        params = merge_params(self._trainable, self._frozen)
+        transformer = ModelHandle(self.transformer.module, params, self.transformer.config)
+        pipeline = self.model_specification.load_pipeline(transformer=transformer, vae=self.vae)
+
+        artifacts = []
+        with self.attention_provider_ctx(training=False):
+            for i, sample in enumerate(dataset):
+                if jax.process_count() > 1 and i % jax.process_count() != jax.process_index():
+                    continue
+                sample = {k: v for k, v in sample.items() if v is not None}
+                outs = self.model_specification.validation(pipeline, **sample)
+                artifacts.extend(outs)
+
+        out_dir = pathlib.Path(args.output_dir) / "validation" / f"{step:06d}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        from ...data.utils import save_image, save_video
+
+        logged = {}
+        for i, artifact in enumerate(artifacts):
+            path = out_dir / f"artifact-{jax.process_index()}-{i}.{artifact.file_extension}"
+            if artifact.type == "video":
+                save_video(artifact.value, str(path))
+            elif artifact.type == "image":
+                save_image(artifact.value, str(path))
+            logged[f"validation/artifact_{i}"] = str(path)
+        self.tracker.log(logged, step=step)
+        logger.info(f"Validation wrote {len(artifacts)} artifacts to {out_dir}")
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)

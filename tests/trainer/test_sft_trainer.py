@@ -1,0 +1,178 @@
+"""End-to-end SFT trainer integration tests (the reference's main test strategy,
+`tests/trainer/test_sft_trainer.py`): tiny on-disk dataset + dummy spec, real
+optimizer steps, checkpoint mid-run, resume, LoRA export — on the in-process
+8-device CPU mesh instead of torchrun."""
+
+import csv
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("tiny_ds")
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        path = root / f"vid{i}.mp4"
+        writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (64, 64))
+        for _ in range(8):
+            writer.write((rng.rand(64, 64, 3) * 255).astype(np.uint8))
+        writer.release()
+        rows.append({"file_name": f"vid{i}.mp4", "caption": f"a dummy video number {i}"})
+    with open(root / "metadata.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file_name", "caption"])
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+    config = {
+        "datasets": [
+            {
+                "data_root": str(root),
+                "dataset_type": "video",
+                "video_resolution_buckets": [[4, 32, 32]],
+                "reshape_mode": "bicubic",
+                "remove_common_llm_caption_prefixes": True,
+            }
+        ]
+    }
+    config_path = root / "config.json"
+    config_path.write_text(json.dumps(config))
+    val_path = root / "validation.csv"
+    with open(val_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["caption", "height", "width", "num_frames"])
+        w.writeheader()
+        w.writerow({"caption": "validation clip", "height": 32, "width": 32, "num_frames": 1})
+    return {"config": str(config_path), "validation": str(val_path)}
+
+
+def _run_training(tmp_path, tiny_dataset, extra_args, train_steps=10):
+    import train
+
+    argv = [
+        "--model_name", "dummy", "--pretrained_model_name_or_path", "dummy",
+        "--dataset_config", tiny_dataset["config"],
+        "--train_steps", str(train_steps), "--checkpointing_steps", "6",
+        "--precomputation_items", "4",
+        "--transformer_dtype", "fp32",
+        "--output_dir", str(tmp_path), "--seed", "42",
+    ] + extra_args
+    train.main(argv)
+
+
+class TestSFTTrainer:
+    def test_lora_fsdp8(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8"],
+        )
+        ckpts = sorted(os.listdir(tmp_path / "checkpoints"))
+        assert any(c.startswith("finetrainers_step_") for c in ckpts)
+        lora_exports = sorted(os.listdir(tmp_path / "lora_weights"))
+        assert "000010" in lora_exports
+
+    def test_lora_export_loadable(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8"],
+            train_steps=6,
+        )
+        from finetrainers_tpu.lora import load_lora_weights
+
+        state, config = load_lora_weights(str(tmp_path / "lora_weights" / "000006"))
+        assert config["r"] == 4
+        assert all(("lora_a" in k or "lora_b" in k) for k in state)
+        assert len(state) > 0
+
+    def test_full_finetune_hsdp(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "full-finetune", "--batch_size", "1",
+             "--dp_degree", "2", "--dp_shards", "4"],
+            train_steps=4,
+        )
+        assert (tmp_path / "model_weights").exists()
+
+    def test_resume_continues_step_count(self, tmp_path, tiny_dataset):
+        args = ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+                "--batch_size", "1", "--dp_shards", "8"]
+        _run_training(tmp_path, tiny_dataset, args, train_steps=6)
+        _run_training(tmp_path, tiny_dataset, args + ["--resume_from_checkpoint", "latest"], train_steps=9)
+        ckpts = sorted(os.listdir(tmp_path / "checkpoints"))
+        assert "finetrainers_step_9" in ckpts
+
+    def test_validation_artifacts(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8",
+             "--validation_dataset_file", tiny_dataset["validation"],
+             "--validation_steps", "6"],
+            train_steps=6,
+        )
+        val_dir = tmp_path / "validation" / "000006"
+        assert val_dir.exists() and len(list(val_dir.iterdir())) > 0
+
+    def test_precomputation_on_disk(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8", "--enable_precomputation"],
+            train_steps=4,
+        )
+        precomp = tmp_path / "precomputed" / "finetrainers-precomputed-data"
+        assert precomp.exists()
+        files = list(precomp.iterdir())
+        assert any(f.name.startswith("condition-") for f in files)
+        assert any(f.name.startswith("latent-") for f in files)
+
+    def test_cp_mesh_training(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "2", "--cp_degree", "2", "--tp_degree", "2"],
+            train_steps=3,
+        )
+        assert (tmp_path / "checkpoints").exists()
+
+    def test_grad_accumulation(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8",
+             "--gradient_accumulation_steps", "2"],
+            train_steps=4,
+        )
+
+    def test_gradient_checkpointing(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8", "--gradient_checkpointing"],
+            train_steps=3,
+        )
+
+    def test_loss_decreases(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "full-finetune", "--batch_size", "1",
+             "--dp_shards", "8", "--lr", "1e-3"],
+            train_steps=30,
+        )
+        log_file = tmp_path / "logs" / "finetrainers.jsonl"
+        losses = [json.loads(l)["train/global_avg_loss"] for l in log_file.read_text().splitlines()
+                  if "train/global_avg_loss" in l]
+        assert len(losses) >= 20
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), f"loss did not decrease: {losses[:5]} -> {losses[-5:]}"
