@@ -37,16 +37,25 @@ def main() -> None:
     module = DummyTransformer(
         in_channels=128, dim=2048, num_heads=32, num_layers=28, caption_dim=4096,
         patch_size=(1, 1, 1), lora_rank=128, lora_alpha=128, dtype=jnp.bfloat16,
+        use_scan=True, remat=True,  # grad checkpointing per bench conditions
     )
     latents = jnp.zeros((1, 128, 7, 16, 24), jnp.bfloat16)  # 49f x 512 x 768 thru VAE
     context = jnp.zeros((1, 128, 4096), jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
-    params = jax.jit(
-        lambda r: module.init(r, latents, context, jnp.zeros((1,)))["params"]
-    )(rng)
+    # eval_shape + host-side materialization: avoids compiling the full forward
+    # just to initialize (flax init traces the model).
+    shapes = jax.eval_shape(
+        lambda r: module.init(r, latents, context, jnp.zeros((1,)))["params"], rng
+    )
+    host_rng = np.random.RandomState(0)
+    params = jax.tree_util.tree_map(
+        lambda s: (host_rng.standard_normal(s.shape) * 0.02).astype(s.dtype), shapes
+    )
     mask = lora_mask(params)
     trainable, frozen = split_params(params, mask)
+    trainable = jax.device_put(trainable)
+    frozen = jax.device_put(frozen)
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     opt_state = jax.jit(optimizer.init)(trainable)
@@ -54,8 +63,6 @@ def main() -> None:
 
     def forward(p, noisy, sigmas):
         return module.apply({"params": p}, noisy, context, sigmas * 1000.0)
-
-    forward = jax.checkpoint(forward)
 
     def train_step(trainable, opt_state, rng):
         sigmas = scheduler.training_sigmas(rng, latents.shape[0])
@@ -74,20 +81,15 @@ def main() -> None:
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
-    @jax.jit
-    def many_steps(trainable, opt_state, rng):
-        def body(i, carry):
-            t, o, _ = carry
-            t, o, loss = train_step(t, o, jax.random.fold_in(rng, i))
-            return (t, o, loss)
+    step = jax.jit(train_step, donate_argnums=(0, 1))
 
-        return jax.lax.fori_loop(0, TIMED_STEPS, body, (trainable, opt_state, jnp.float32(0)))
-
-    # Warm up (compile) with a single fused run, then time.
-    trainable, opt_state, loss = many_steps(trainable, opt_state, rng)
+    # Warm up (compile), then time TIMED_STEPS sequential steps. Per-call dispatch
+    # overhead (~40ms on the tunnel) is negligible against full-model step time.
+    trainable, opt_state, loss = step(trainable, opt_state, rng)
     _ = np.asarray(loss)
     t0 = time.perf_counter()
-    trainable, opt_state, loss = many_steps(trainable, opt_state, jax.random.fold_in(rng, 123))
+    for i in range(TIMED_STEPS):
+        trainable, opt_state, loss = step(trainable, opt_state, jax.random.fold_in(rng, i + 1))
     _ = np.asarray(loss)
     elapsed = (time.perf_counter() - t0) / TIMED_STEPS
 

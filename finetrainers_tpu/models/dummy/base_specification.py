@@ -62,6 +62,24 @@ class DummyTransformerBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """scan-compatible (carry, out) wrapper over DummyTransformerBlock."""
+
+    dim: int
+    num_heads: int
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, temb, kv_lens):
+        x = DummyTransformerBlock(
+            self.dim, self.num_heads, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            dtype=self.dtype, name="block",
+        )(x, context, temb, kv_lens=kv_lens)
+        return x, None
+
+
 class DummyTransformer(nn.Module):
     in_channels: int = 4
     dim: int = 64
@@ -72,6 +90,11 @@ class DummyTransformer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.float32
+    # scan-over-layers: ONE compiled block body + stacked params instead of
+    # num_layers HLO copies (compile time ~O(1) in depth); remat trades FLOPs
+    # for activation memory like the reference's gradient checkpointing.
+    use_scan: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states, timestep, encoder_kv_lens=None):
@@ -89,11 +112,27 @@ class DummyTransformer(nn.Module):
             encoder_hidden_states.astype(self.dtype)
         )
 
-        for i in range(self.num_layers):
-            x = DummyTransformerBlock(
+        if self.use_scan:
+            block_cls = _ScanBlock
+            if self.remat:
+                block_cls = nn.remat(block_cls, static_argnums=())
+            ScanBlock = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = ScanBlock(
                 self.dim, self.num_heads, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                dtype=self.dtype, name=f"blocks_{i}",
-            )(x, context, temb, kv_lens=encoder_kv_lens)
+                dtype=self.dtype, name="blocks",
+            )(x, context, temb, encoder_kv_lens)
+        else:
+            for i in range(self.num_layers):
+                x = DummyTransformerBlock(
+                    self.dim, self.num_heads, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                    dtype=self.dtype, name=f"blocks_{i}",
+                )(x, context, temb, kv_lens=encoder_kv_lens)
 
         x = LayerNorm(dtype=self.dtype, name="norm_out")(x)
         x = LoRADense(c * pf * ph * pw, dtype=self.dtype, name="proj_out")(x)

@@ -1,0 +1,274 @@
+"""LTX-Video DiT in flax.
+
+Faithful reimplementation of the architecture the reference trains through
+diffusers' `LTXVideoTransformer3DModel` (reference spec:
+`finetrainers/models/ltx_video/base_specification.py`; per-token-timestep patch at
+`patches/models/ltx_video/patch.py:38-127` — here per-token timesteps are native).
+
+Structure (packed-token stream, patch_size 1x1x1 by default):
+  proj_in -> [N x block: adaLN(self-attn w/ 3D RoPE + rms-qk-norm) ->
+  cross-attn(no pre-norm, LTX quirk) -> adaLN(MLP)] -> norm_out+mod -> proj_out.
+Per-block `scale_shift_table` (6, dim) combines with the shared AdaLayerNormSingle
+timestep embedding; supports per-token timesteps (B, S) natively.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers import LoRADense, RMSNorm, sinusoidal_timestep_embedding
+from ...ops import attention_dispatch
+
+
+class LTXAdaLayerNormSingle(nn.Module):
+    """PixArt-style single adaLN: timestep -> (temb 6*dim, embedded_timestep dim).
+    Accepts (B,) or per-token (B, S) timesteps."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, timestep: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        shape = timestep.shape
+        flat = timestep.reshape(-1)
+        emb = sinusoidal_timestep_embedding(flat, 256, flip_sin_to_cos=True, downscale_freq_shift=0.0)
+        emb = LoRADense(self.dim, dtype=self.dtype, name="timestep_embedder_linear_1")(emb.astype(self.dtype))
+        emb = nn.silu(emb)
+        embedded_timestep = LoRADense(self.dim, dtype=self.dtype, name="timestep_embedder_linear_2")(emb)
+        temb = LoRADense(6 * self.dim, dtype=self.dtype, name="linear")(nn.silu(embedded_timestep))
+        temb = temb.reshape(*shape, 6 * self.dim)
+        embedded_timestep = embedded_timestep.reshape(*shape, self.dim)
+        return temb, embedded_timestep
+
+
+class LTXRotaryPosEmbed(nn.Module):
+    """3D axial RoPE over (frame, row, col) token coordinates.
+
+    Head dim splits t/h/w as close to diffusers' LTX split as documented
+    (isolated here so exact-parity fixes touch one function)."""
+
+    head_dim: int
+    patch_size: int = 1
+    patch_size_t: int = 1
+    base_num_frames: int = 20
+    base_height: int = 2048
+    base_width: int = 2048
+    theta: float = 10000.0
+
+    def __call__(
+        self, num_frames: int, height: int, width: int,
+        rope_interpolation_scale: Sequence[float],
+    ) -> Tuple[jax.Array, jax.Array]:
+        pf = num_frames // self.patch_size_t
+        ph = height // self.patch_size
+        pw = width // self.patch_size
+        # token grid (f, h, w) in row-major order matching _pack_latents
+        f_ids = jnp.arange(pf, dtype=jnp.float32)
+        h_ids = jnp.arange(ph, dtype=jnp.float32)
+        w_ids = jnp.arange(pw, dtype=jnp.float32)
+        grid_f = jnp.repeat(f_ids, ph * pw)
+        grid_h = jnp.tile(jnp.repeat(h_ids, pw), pf)
+        grid_w = jnp.tile(w_ids, pf * ph)
+
+        grid_f = grid_f * rope_interpolation_scale[0] * self.patch_size_t / self.base_num_frames
+        grid_h = grid_h * rope_interpolation_scale[1] * self.patch_size / self.base_height
+        grid_w = grid_w * rope_interpolation_scale[2] * self.patch_size / self.base_width
+
+        # Allocate the dim/2 frequency slots across axes (~1/4 temporal, rest
+        # split between height/width) — always exact regardless of head_dim.
+        total_slots = self.head_dim // 2
+        slots_t = max(total_slots // 4, 1)
+        slots_h = (total_slots - slots_t) // 2
+        slots_w = total_slots - slots_t - slots_h
+
+        def axis_freqs(pos, slots, span):
+            exponents = jnp.arange(slots, dtype=jnp.float32) / max(slots, 1)
+            inv_freq = 1.0 / (self.theta**exponents)
+            return pos[:, None] * inv_freq[None, :] * span
+
+        # Positions were normalized to [0,1); multiply back to base spans.
+        freqs = jnp.concatenate(
+            [
+                axis_freqs(grid_f, slots_t, self.base_num_frames),
+                axis_freqs(grid_h, slots_h, self.base_height),
+                axis_freqs(grid_w, slots_w, self.base_width),
+            ],
+            axis=-1,
+        )  # (S, head_dim/2)
+        return jnp.cos(freqs), jnp.sin(freqs)
+
+
+class LTXAttention(nn.Module):
+    """LTX attention: qk RMS-norm applied across the full inner dim
+    ("rms_norm_across_heads"), biases on q/k/v/out."""
+
+    num_heads: int
+    head_dim: int
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context=None, freqs=None, kv_lens=None):
+        inner = self.num_heads * self.head_dim
+        ctx = x if context is None else context
+        q = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_q")(x)
+        k = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_k")(ctx)
+        v = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_v")(ctx)
+        q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
+        k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
+        b, sq = q.shape[0], q.shape[1]
+        skv = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, skv, self.num_heads, self.head_dim)
+        v = v.reshape(b, skv, self.num_heads, self.head_dim)
+        if freqs is not None:
+            cos, sin = freqs
+
+            def rope(t):
+                t32 = t.astype(jnp.float32)
+                t1, t2 = jnp.split(t32, 2, axis=-1)
+                c = cos[None, :, None, :]
+                s = sin[None, :, None, :]
+                return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1).astype(t.dtype)
+
+            q, k = rope(q), rope(k)
+        out = attention_dispatch(q, k, v, kv_lens=kv_lens)
+        out = out.reshape(b, sq, inner)
+        return LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_out")(out)
+
+
+class LTXTransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    head_dim: int
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, temb, freqs, encoder_kv_lens=None):
+        # scale_shift_table (6, dim) + temb (B, S|1, 6*dim)
+        table = self.param("scale_shift_table", nn.initializers.normal(self.dim**-0.5), (6, self.dim), jnp.float32)
+        ada = table[None, None] + temb.reshape(temb.shape[0], -1, 6, self.dim).astype(jnp.float32)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            a[:, :, 0].astype(self.dtype) for a in jnp.split(ada, 6, axis=2)
+        ]
+
+        h = RMSNorm(elementwise_affine=False, dtype=self.dtype, name="norm1")(x)
+        h = h * (1.0 + scale_msa) + shift_msa
+        h = LTXAttention(self.num_heads, self.head_dim, self.lora_rank, self.lora_alpha,
+                        dtype=self.dtype, name="attn1")(h, freqs=freqs)
+        x = x + h * gate_msa
+
+        # LTX quirk: cross-attention has no pre-norm.
+        h = LTXAttention(self.num_heads, self.head_dim, self.lora_rank, self.lora_alpha,
+                        dtype=self.dtype, name="attn2")(x, context=context, kv_lens=encoder_kv_lens)
+        x = x + h
+
+        h = RMSNorm(elementwise_affine=False, dtype=self.dtype, name="norm2")(x)
+        h = h * (1.0 + scale_mlp) + shift_mlp
+        h = LoRADense(4 * self.dim, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
+                      name="ff_net_0_proj")(h)
+        h = nn.gelu(h, approximate=True)
+        h = LoRADense(self.dim, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
+                      name="ff_net_2")(h)
+        x = x + h * gate_mlp
+        return x
+
+
+class LTXVideoTransformer3DModel(nn.Module):
+    in_channels: int = 128
+    out_channels: int = 128
+    patch_size: int = 1
+    patch_size_t: int = 1
+    num_attention_heads: int = 32
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 2048
+    num_layers: int = 28
+    caption_channels: int = 4096
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,  # packed tokens (B, S, in_channels*p*p*pt)
+        encoder_hidden_states: jax.Array,  # (B, L, caption_channels)
+        timestep: jax.Array,  # (B,) or (B, S) in [0, 1000)
+        encoder_attention_mask: Optional[jax.Array] = None,  # (B, L) bool / kv_lens (B,)
+        num_frames: int = 1,
+        height: int = 1,
+        width: int = 1,
+        rope_interpolation_scale: Sequence[float] = (1.0, 32.0, 32.0),
+    ) -> jax.Array:
+        inner = self.num_attention_heads * self.attention_head_dim
+        x = LoRADense(inner, dtype=self.dtype, name="proj_in")(hidden_states.astype(self.dtype))
+
+        temb, embedded_timestep = LTXAdaLayerNormSingle(inner, dtype=self.dtype, name="time_embed")(
+            timestep.astype(jnp.float32)
+        )
+
+        context = LoRADense(inner, dtype=self.dtype, name="caption_projection_linear_1")(
+            encoder_hidden_states.astype(self.dtype)
+        )
+        context = nn.gelu(context, approximate=True)
+        context = LoRADense(inner, dtype=self.dtype, name="caption_projection_linear_2")(context)
+
+        kv_lens = None
+        if encoder_attention_mask is not None:
+            if encoder_attention_mask.ndim == 2:
+                kv_lens = encoder_attention_mask.astype(jnp.int32).sum(axis=1)
+            else:
+                kv_lens = encoder_attention_mask.astype(jnp.int32)
+
+        freqs = LTXRotaryPosEmbed(
+            head_dim=self.attention_head_dim, patch_size=self.patch_size, patch_size_t=self.patch_size_t,
+            name="rope",
+        )(num_frames, height, width, rope_interpolation_scale)
+
+        for i in range(self.num_layers):
+            x = LTXTransformerBlock(
+                inner, self.num_attention_heads, self.attention_head_dim,
+                self.lora_rank, self.lora_alpha, dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(x, context, temb, freqs, encoder_kv_lens=kv_lens)
+
+        table = self.param("scale_shift_table", nn.initializers.normal(inner**-0.5), (2, inner), jnp.float32)
+        emb_t = embedded_timestep.reshape(embedded_timestep.shape[0], -1, 1, inner).astype(jnp.float32)
+        mod = table[None, None] + emb_t  # (B, S|1, 2, inner)
+        shift = mod[:, :, 0].astype(self.dtype)
+        scale = mod[:, :, 1].astype(self.dtype)
+        x = RMSNorm(elementwise_affine=False, dtype=self.dtype, name="norm_out")(x)
+        x = x * (1.0 + scale) + shift
+        x = LoRADense(
+            self.out_channels * self.patch_size * self.patch_size * self.patch_size_t,
+            dtype=self.dtype, name="proj_out",
+        )(x)
+        return x.astype(jnp.float32)
+
+
+def pack_latents(latents: jax.Array, patch_size: int = 1, patch_size_t: int = 1) -> jax.Array:
+    """(B, C, F, H, W) -> (B, F/pt * H/p * W/p, C*pt*p*p) (reference
+    `_pack_latents`, ltx base_specification.py:438-459)."""
+    b, c, f, h, w = latents.shape
+    pf, ph, pw = f // patch_size_t, h // patch_size, w // patch_size
+    x = latents.reshape(b, c, pf, patch_size_t, ph, patch_size, pw, patch_size)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b, pf * ph * pw, c * patch_size_t * patch_size * patch_size)
+
+
+def unpack_latents(
+    packed: jax.Array, num_frames: int, height: int, width: int,
+    patch_size: int = 1, patch_size_t: int = 1,
+) -> jax.Array:
+    b, s, d = packed.shape
+    pf, ph, pw = num_frames // patch_size_t, height // patch_size, width // patch_size
+    c = d // (patch_size_t * patch_size * patch_size)
+    x = packed.reshape(b, pf, ph, pw, c, patch_size_t, patch_size, patch_size)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(b, c, num_frames, height, width)

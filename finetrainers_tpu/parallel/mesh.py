@@ -169,9 +169,13 @@ class MeshEnv:
         pytree key paths (joined by '.') to the sequence dimension for CP sharding."""
         seq_dims = seq_dims or {}
 
+        divisor = self.local_batch_size_divisor
+
         def _place(path, x):
             key = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-            if getattr(x, "ndim", 0) == 0:
+            # Non-batched tensors (scalars, per-channel stats, lookup tables) are
+            # replicated: only arrays whose leading dim is the global batch shard.
+            if getattr(x, "ndim", 0) == 0 or x.shape[0] % divisor != 0:
                 return jax.device_put(x, self.replicated())
             return jax.device_put(x, self.data_sharding(x.ndim, seq_dims.get(key)))
 

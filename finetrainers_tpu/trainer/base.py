@@ -29,8 +29,12 @@ class Trainer:
         self.model_specification = model_specification
         self.state = State()
 
-        self.attn_provider_training = self._parse_attention_providers(args.attn_provider_training)
-        self.attn_provider_inference = self._parse_attention_providers(args.attn_provider_inference)
+        self.attn_provider_training = self._parse_attention_providers(
+            getattr(args, "attn_provider_training", [])
+        )
+        self.attn_provider_inference = self._parse_attention_providers(
+            getattr(args, "attn_provider_inference", [])
+        )
 
         self._init_distributed()
         self._init_determinism()

@@ -163,10 +163,9 @@ class SFTTrainer(Trainer):
         args = self.args
         gradient_checkpointing = args.gradient_checkpointing
 
-        def train_step(trainable, frozen, opt_state, batch, rng):
+        def train_step(trainable, frozen, opt_state, conditions, latent_conditions, rng):
             rng_sigmas, rng_fwd = jax.random.split(rng)
-            latents = batch["latents"]
-            batch_size = latents.shape[0]
+            batch_size = latent_conditions["latents"].shape[0]
             sigmas = scheduler.training_sigmas(
                 rng_sigmas, batch_size,
                 flow_weighting_scheme=args.flow_weighting_scheme,
@@ -179,11 +178,9 @@ class SFTTrainer(Trainer):
 
                 sigmas = default_flow_shift(sigmas, args.flow_shift)
 
-            conditions = {k: v for k, v in batch.items() if k != "latents"}
-
             def forward(params, sigmas, rng_fwd):
                 handle = ModelHandle(module, params, config)
-                return spec.forward(handle, conditions, {"latents": latents}, sigmas, rng_fwd)
+                return spec.forward(handle, conditions, latent_conditions, sigmas, rng_fwd)
 
             if gradient_checkpointing:
                 forward = jax.checkpoint(forward)
@@ -358,15 +355,15 @@ class SFTTrainer(Trainer):
                 cond_list, lat_list = sampler.get_batch()
                 cond_batch = self.model_specification.collate_conditions(cond_list)
                 lat_batch = self.model_specification.collate_latents(lat_list)
-                batch = {**cond_batch, **lat_batch}
                 seq_dims = self.model_specification.cp_plan() if self.mesh_env.context_parallel_enabled else {}
-                batch = self.mesh_env.shard_batch(batch, seq_dims=seq_dims)
+                cond_batch = self.mesh_env.shard_batch(cond_batch, seq_dims=seq_dims)
+                lat_batch = self.mesh_env.shard_batch(lat_batch, seq_dims=seq_dims)
 
             t0 = time.perf_counter()
             with self.tracker.timed("timing/train_step"), self.attention_provider_ctx(training=True):
                 step_rng = jax.random.fold_in(self.rng, train_state.step)
                 self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_fn(
-                    self._trainable, self._frozen, self._opt_state, batch, step_rng
+                    self._trainable, self._frozen, self._opt_state, cond_batch, lat_batch, step_rng
                 )
 
             train_state.step += 1
