@@ -1,0 +1,78 @@
+"""CogView4 text-to-image inference pipeline (flow-match Euler)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...schedulers import FlowMatchEulerScheduler
+from ..modeling_utils import ModelHandle
+
+
+@dataclasses.dataclass
+class CogView4Pipeline:
+    spec: Any
+    transformer: ModelHandle
+    vae: ModelHandle
+    text_encoder: Any
+    scheduler: FlowMatchEulerScheduler
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: Optional[str] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 3.5,
+        seed: int = 0,
+        **kwargs,
+    ) -> np.ndarray:
+        spec = self.spec
+        sr = self.vae.config["spatial_compression_ratio"]
+        latent_h, latent_w = height // sr, width // sr
+        latent_ch = self.vae.config["latent_channels"]
+
+        conds = spec.prepare_conditions(caption=prompt, text_encoder=self.text_encoder)
+        ehs = jnp.asarray(conds["encoder_hidden_states"])
+        do_cfg = guidance_scale > 1.0
+        if do_cfg:
+            neg = spec.prepare_conditions(caption=negative_prompt or "", text_encoder=self.text_encoder)
+            ehs = jnp.concatenate([jnp.asarray(neg["encoder_hidden_states"]), ehs])
+
+        rng = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(rng, (1, latent_ch, latent_h, latent_w), jnp.float32)
+        sizes = jnp.asarray([[height, width]], jnp.float32)
+        crops = jnp.zeros((1, 2), jnp.float32)
+        if do_cfg:
+            sizes_in = jnp.concatenate([sizes, sizes])
+            crops_in = jnp.concatenate([crops, crops])
+        else:
+            sizes_in, crops_in = sizes, crops
+
+        sigmas = self.scheduler.inference_sigmas(num_inference_steps)
+
+        @jax.jit
+        def denoise_step(latents, sigma, sigma_next):
+            model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
+            timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
+            pred = self.transformer.module.apply(
+                {"params": self.transformer.params},
+                model_in.astype(spec.transformer_dtype), ehs, timestep,
+                original_size=sizes_in, target_size=sizes_in, crop_coords=crops_in,
+            )
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2)
+                pred = uncond + guidance_scale * (cond - uncond)
+            return self.scheduler.step(pred, sigma, sigma_next, latents)
+
+        for i in range(num_inference_steps):
+            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+
+        image = self.vae.apply(latents[:, :, None], method=type(self.vae.module).decode)[:, :, 0]
+        image = np.asarray(jnp.clip((image + 1.0) / 2.0, 0.0, 1.0))
+        return (image[0].transpose(1, 2, 0) * 255).astype(np.uint8)

@@ -271,3 +271,42 @@ class FeedForward(nn.Module):
 def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
     """adaLN modulation; shift/scale (B, D) broadcast over sequence."""
     return x * (1.0 + scale[:, None]) + shift[:, None]
+
+
+def axial_rope_freqs(
+    head_dim: int,
+    sizes: Sequence[int],
+    fractions: Sequence[float],
+    theta: float = 10000.0,
+    position_scales: Optional[Sequence[float]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """N-axis RoPE with exact frequency-slot allocation.
+
+    Allocates the head_dim/2 frequency slots across axes proportionally to
+    `fractions` (last axis takes the remainder, so the total is always exact —
+    avoids the odd-dim breakage of naive per-axis dim splits). Token order is
+    row-major over `sizes`. Returns (cos, sin) of shape (prod(sizes), head_dim/2).
+    """
+    total_slots = head_dim // 2
+    slots = []
+    for frac in fractions[:-1]:
+        slots.append(max(int(total_slots * frac), 1))
+    slots.append(total_slots - sum(slots))
+    position_scales = position_scales or [1.0] * len(sizes)
+
+    parts = []
+    n = len(sizes)
+    for axis_idx, (size, n_slots, pscale) in enumerate(zip(sizes, slots, position_scales)):
+        inv = 1.0 / (theta ** (jnp.arange(n_slots, dtype=jnp.float32) / max(n_slots, 1)))
+        pos = jnp.arange(size, dtype=jnp.float32) * pscale
+        freq = pos[:, None] * inv[None, :]  # (size, slots)
+        reps_before = 1
+        for s in sizes[:axis_idx]:
+            reps_before *= s
+        reps_after = 1
+        for s in sizes[axis_idx + 1 :]:
+            reps_after *= s
+        freq = jnp.tile(jnp.repeat(freq, reps_after, axis=0), (reps_before, 1))
+        parts.append(freq)
+    freqs = jnp.concatenate(parts, axis=-1)
+    return jnp.cos(freqs), jnp.sin(freqs)

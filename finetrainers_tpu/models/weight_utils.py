@@ -63,6 +63,14 @@ def torch_state_dict_to_flax(
     for flax_key, target in flat_target.items():
         torch_key = key_map(flax_key)
         if torch_key not in state_dict:
+            if ".lora_a" in flax_key or ".lora_b" in flax_key:
+                # Fresh adapters: keep the initialized values (checkpoints don't
+                # carry LoRA factors; they load separately via lora_peft_to_flax).
+                try:
+                    out[flax_key] = np.asarray(target)
+                except TypeError:  # abstract target (ShapeDtypeStruct)
+                    out[flax_key] = np.zeros(target.shape, _np_dtype(target))
+                continue
             if strict:
                 missing.append((flax_key, torch_key))
                 continue
@@ -82,13 +90,17 @@ def torch_state_dict_to_flax(
 
 
 def flax_params_to_torch_state_dict(
-    params: Dict[str, Any], key_map: Optional[Callable[[str], str]] = None
+    params: Dict[str, Any], key_map: Optional[Callable[[str], str]] = None,
+    include_lora: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Inverse conversion for diffusers-format export."""
+    """Inverse conversion for diffusers-format export. LoRA factors are excluded
+    by default (they export separately in peft convention, or get merged)."""
     key_map = key_map or flax_key_to_torch
     flat = flatten_params(params)
     out = {}
     for flax_key, value in flat.items():
+        if not include_lora and (".lora_a" in flax_key or ".lora_b" in flax_key):
+            continue
         value = np.asarray(value)
         if _is_linear_kernel(flax_key) and value.ndim == 2:
             value = value.T

@@ -1,0 +1,184 @@
+"""Model-zoo matrix tests: every family's spec runs forward (finite pred/target,
+LoRA grads flow), round-trips its checkpoint conversion exactly, and generates
+through its pipeline — the offline analog of the reference's dummy-spec strategy."""
+
+import sys
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+from finetrainers_tpu.processors import HashEncoder
+
+
+VAE2D = AutoencoderConfig(latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+                          spatial_downsample=(True,), temporal_downsample=(False,))
+VAE3D = AutoencoderConfig(latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+                          spatial_downsample=(True,), temporal_downsample=(True,))
+
+
+def _ltx():
+    from finetrainers_tpu.models.ltx_video import LTXVideoModelSpecification
+    from finetrainers_tpu.models.ltx_video.weights import (
+        export_ltx_transformer_state_dict, load_ltx_transformer_params)
+
+    spec = LTXVideoModelSpecification(
+        transformer_config=dict(in_channels=4, out_channels=4, num_attention_heads=2,
+                                attention_head_dim=8, cross_attention_dim=16, num_layers=2,
+                                caption_channels=32),
+        vae_config=VAE3D, lora_rank=2, lora_alpha=2)
+    return spec, export_ltx_transformer_state_dict, load_ltx_transformer_params, "video"
+
+
+def _wan():
+    from finetrainers_tpu.models.wan import (WanModelSpecification,
+        export_wan_transformer_state_dict, load_wan_transformer_params)
+
+    spec = WanModelSpecification(
+        transformer_config=dict(in_channels=4, out_channels=4, patch_size=(1, 2, 2),
+                                num_attention_heads=2, attention_head_dim=12, num_layers=2,
+                                ffn_dim=32, text_dim=32, freq_dim=32, image_dim=None),
+        vae_config=VAE3D, lora_rank=2, lora_alpha=2)
+    return spec, export_wan_transformer_state_dict, load_wan_transformer_params, "video"
+
+
+def _flux():
+    from finetrainers_tpu.models.flux import (FluxModelSpecification,
+        export_flux_transformer_state_dict, load_flux_transformer_params)
+
+    spec = FluxModelSpecification(
+        transformer_config=dict(in_channels=16, num_layers=1, num_single_layers=1,
+                                num_attention_heads=2, attention_head_dim=8,
+                                pooled_projection_dim=16, joint_attention_dim=32,
+                                guidance_embeds=True, axes_dims_rope=(2, 4, 2)),
+        vae_config=VAE2D, lora_rank=2, lora_alpha=2)
+    return spec, export_flux_transformer_state_dict, load_flux_transformer_params, "image"
+
+
+def _cogvideox():
+    from finetrainers_tpu.models.cogvideox import (CogVideoXModelSpecification,
+        export_cogvideox_transformer_state_dict, load_cogvideox_transformer_params)
+
+    spec = CogVideoXModelSpecification(
+        transformer_config=dict(in_channels=4, out_channels=4, patch_size=2,
+                                num_attention_heads=2, attention_head_dim=8, num_layers=2,
+                                text_embed_dim=32, time_embed_dim=16,
+                                use_rotary_positional_embeddings=True,
+                                use_learned_positional_embeddings=False),
+        vae_config=VAE3D, lora_rank=2, lora_alpha=2)
+    return spec, export_cogvideox_transformer_state_dict, load_cogvideox_transformer_params, "video"
+
+
+def _cogview4():
+    from finetrainers_tpu.models.cogview4 import (CogView4ModelSpecification,
+        export_cogview4_transformer_state_dict, load_cogview4_transformer_params)
+
+    spec = CogView4ModelSpecification(
+        transformer_config=dict(in_channels=4, out_channels=4, patch_size=2,
+                                num_attention_heads=2, attention_head_dim=8, num_layers=2,
+                                text_embed_dim=32, time_embed_dim=16),
+        vae_config=VAE2D, lora_rank=2, lora_alpha=2)
+    return spec, export_cogview4_transformer_state_dict, load_cogview4_transformer_params, "image"
+
+
+def _hunyuan():
+    from finetrainers_tpu.models.hunyuan_video import (HunyuanVideoModelSpecification,
+        export_hunyuan_transformer_state_dict, load_hunyuan_transformer_params)
+
+    spec = HunyuanVideoModelSpecification(
+        transformer_config=dict(in_channels=4, out_channels=4, patch_size=2, patch_size_t=1,
+                                num_attention_heads=2, attention_head_dim=8, num_layers=1,
+                                num_single_layers=1, num_refiner_layers=1, text_embed_dim=32,
+                                pooled_projection_dim=16, guidance_embeds=True,
+                                rope_axes_dim=(2, 4, 2)),
+        vae_config=VAE3D, lora_rank=2, lora_alpha=2)
+    return spec, export_hunyuan_transformer_state_dict, load_hunyuan_transformer_params, "video"
+
+
+FAMILIES = {
+    "ltx_video": _ltx,
+    "wan": _wan,
+    "flux": _flux,
+    "cogvideox": _cogvideox,
+    "cogview4": _cogview4,
+    "hunyuan_video": _hunyuan,
+}
+
+
+def _setup(name):
+    spec, export, load, media = FAMILIES[name]()
+    spec.transformer_dtype = jnp.float32
+    spec.vae_dtype = jnp.float32
+    tr = spec.load_diffusion_models()["transformer"]
+    vae = spec.load_latent_models()["vae"]
+    enc = HashEncoder(hidden_size=32, max_length=8, pooled_dim=16)
+    enc.supports_template_crop = False
+    if media == "image":
+        lats = spec.prepare_latents(vae, image=np.zeros((3, 16, 16), np.float32))
+    else:
+        lats = spec.prepare_latents(vae, video=np.zeros((5, 3, 16, 16), np.float32))
+    conds = spec.prepare_conditions(caption="a test prompt", text_encoder=enc)
+    bc = {k: jnp.asarray(v) for k, v in conds.items()}
+    bl = {k: jnp.asarray(v) for k, v in lats.items()}
+    return spec, tr, vae, enc, bc, bl, export, load, media
+
+
+@pytest.mark.parametrize("name", sorted(FAMILIES))
+class TestModelZoo:
+    def test_forward_finite(self, name):
+        spec, tr, vae, enc, bc, bl, *_ = _setup(name)
+        pred, target, sigmas = spec.forward(tr, bc, bl, jnp.asarray([0.4]), jax.random.PRNGKey(0))
+        assert pred.shape == target.shape
+        assert bool(jnp.isfinite(pred).all()) and bool(jnp.isfinite(target).all())
+
+    def test_lora_grads_flow(self, name):
+        from finetrainers_tpu.lora import lora_mask, merge_params, split_params
+        from finetrainers_tpu.models.modeling_utils import ModelHandle
+
+        spec, tr, vae, enc, bc, bl, *_ = _setup(name)
+        mask = lora_mask(tr.params)
+        trainable, frozen = split_params(tr.params, mask)
+        assert len([x for x in jtu.tree_leaves(trainable)]) > 0
+
+        def loss(t):
+            p = merge_params(t, frozen)
+            h = ModelHandle(tr.module, p, tr.config)
+            pred, target, _ = spec.forward(h, bc, bl, jnp.asarray([0.4]), jax.random.PRNGKey(0))
+            return jnp.mean((pred - target) ** 2)
+
+        grads = jax.grad(loss)(trainable)
+        total = sum(float(jnp.abs(g).sum()) for g in jtu.tree_leaves(grads))
+        assert np.isfinite(total) and total > 0
+
+    def test_weight_roundtrip_exact(self, name):
+        spec, tr, vae, enc, bc, bl, export, load, _ = _setup(name)
+        sd = export(tr.params)
+        back = load(sd, tr.params)
+        flat = dict(jtu.tree_leaves_with_path(back))
+        for path, leaf in jtu.tree_leaves_with_path(tr.params):
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat[path]))
+
+    def test_export_has_torch_layout(self, name):
+        spec, tr, vae, enc, bc, bl, export, load, _ = _setup(name)
+        sd = export(tr.params)
+        assert all(".lora_" not in k for k in sd), "LoRA factors must not leak into base export"
+        assert any(k.endswith(".weight") for k in sd)
+
+    def test_pipeline_generates(self, name):
+        spec, tr, vae, enc, bc, bl, export, load, media = _setup(name)
+        pipe = spec.load_pipeline(transformer=tr, vae=vae, text_encoder=enc)
+        if media == "image":
+            out = pipe(prompt="x", height=16, width=16, num_inference_steps=2, guidance_scale=1.0)
+            assert out.shape == (16, 16, 3)
+        else:
+            out = pipe(prompt="x", height=16, width=16, num_frames=5, num_inference_steps=2,
+                       guidance_scale=1.0)
+            assert out.shape == (5, 16, 16, 3)
+        assert out.dtype == np.uint8
