@@ -48,9 +48,12 @@ def main() -> None:
     shapes = jax.eval_shape(
         lambda r: module.init(r, latents, context, jnp.zeros((1,)))["params"], rng
     )
-    host_rng = np.random.RandomState(0)
+    host_rng = np.random.default_rng(0)
     params = jax.tree_util.tree_map(
-        lambda s: (host_rng.standard_normal(s.shape) * 0.02).astype(s.dtype), shapes
+        # float32 generation directly — float64 intermediates for 1.5B params
+        # would eat 12GB host RAM and minutes of RNG time.
+        lambda s: (host_rng.standard_normal(s.shape, dtype=np.float32) * 0.02).astype(s.dtype),
+        shapes,
     )
     mask = lora_mask(params)
     trainable, frozen = split_params(params, mask)

@@ -99,6 +99,9 @@ class SFTTrainer(Trainer):
         else:
             mask = trainable_mask(params, lambda s: True)
         self._trainable_mask = mask
+        self._finalize_trainable(params, mask)
+
+    def _finalize_trainable(self, params, mask) -> None:
         trainable, frozen = split_params(params, mask)
 
         # Declarative sharding: FSDP dim inference + per-model TP rules.
@@ -272,7 +275,7 @@ class SFTTrainer(Trainer):
             if not self.mesh_env.is_main_process:
                 return
             step = int(self.state.train_state.step)
-            if args.training_type == "lora":
+            if args.training_type in ("lora", "control-lora"):
                 lora_dir = os.path.join(args.output_dir, "lora_weights", f"{step:06d}")
                 lora_config = {
                     "r": getattr(args, "rank", 64),

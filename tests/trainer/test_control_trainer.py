@@ -1,0 +1,129 @@
+"""Control trainer integration tests (mirrors reference tests/trainer/
+test_control_trainer.py): canny control over a tiny Wan spec, widened input
+projection, injection-layer full-rank training, LoRA + aux export."""
+
+import csv
+import json
+import pathlib
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+from finetrainers_tpu.processors import HashEncoder
+from finetrainers_tpu.trainer.control_trainer.data import apply_frame_conditioning_on_latents
+
+
+TINY_WAN = dict(in_channels=4, out_channels=4, patch_size=(1, 2, 2), num_attention_heads=2,
+                attention_head_dim=12, num_layers=2, ffn_dim=32, text_dim=32, freq_dim=32,
+                image_dim=None)
+TINY_VAE = AutoencoderConfig(latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+                             spatial_downsample=(True,), temporal_downsample=(True,))
+
+
+class TestFrameConditioning:
+    def _lat(self):
+        return np.ones((1, 4, 6, 2, 2), np.float32)
+
+    def test_index_keeps_one_frame(self):
+        out = apply_frame_conditioning_on_latents(
+            self._lat(), expected_num_frames=6, channel_dim=1, frame_dim=2,
+            frame_conditioning_type="index", frame_conditioning_index=2)
+        assert out[:, :, 2].sum() > 0
+        assert out[:, :, 0].sum() == 0 and out[:, :, 3].sum() == 0
+
+    def test_full_keeps_all(self):
+        out = apply_frame_conditioning_on_latents(
+            self._lat(), expected_num_frames=6, channel_dim=1, frame_dim=2,
+            frame_conditioning_type="full")
+        assert out.sum() == self._lat().sum()
+
+    def test_first_and_last(self):
+        out = apply_frame_conditioning_on_latents(
+            self._lat(), expected_num_frames=6, channel_dim=1, frame_dim=2,
+            frame_conditioning_type="first_and_last")
+        assert out[:, :, 0].sum() > 0 and out[:, :, 5].sum() > 0
+        assert out[:, :, 1:5].sum() == 0
+
+    def test_pad_to_expected(self):
+        out = apply_frame_conditioning_on_latents(
+            self._lat(), expected_num_frames=8, channel_dim=1, frame_dim=2,
+            frame_conditioning_type="full")
+        assert out.shape[2] == 8
+
+    def test_concatenate_mask_doubles_channels(self):
+        out = apply_frame_conditioning_on_latents(
+            self._lat(), expected_num_frames=6, channel_dim=1, frame_dim=2,
+            frame_conditioning_type="full", concatenate_mask=True)
+        assert out.shape[1] == 8
+
+
+class TestControlTrainerIntegration:
+    def test_control_lora_training(self, tmp_path):
+        import cv2
+
+        from finetrainers_tpu.args import BaseArgs
+        from finetrainers_tpu.models.wan.control_specification import WanControlModelSpecification
+        from finetrainers_tpu.trainer.control_trainer import ControlLowRankConfig, ControlTrainer
+
+        root = tmp_path / "ds"
+        root.mkdir()
+        rng = np.random.RandomState(0)
+        rows = []
+        for i in range(2):
+            path = root / f"v{i}.mp4"
+            w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (32, 32))
+            for _ in range(6):
+                w.write((rng.rand(32, 32, 3) * 255).astype(np.uint8))
+            w.release()
+            rows.append({"file_name": f"v{i}.mp4", "caption": f"clip {i}"})
+        with open(root / "metadata.csv", "w", newline="") as f:
+            wtr = csv.DictWriter(f, fieldnames=["file_name", "caption"])
+            wtr.writeheader()
+            [wtr.writerow(r) for r in rows]
+        config_path = root / "config.json"
+        config_path.write_text(json.dumps({"datasets": [{
+            "data_root": str(root), "dataset_type": "video",
+            "video_resolution_buckets": [[5, 16, 16]],
+        }]}))
+
+        args = BaseArgs()
+        args.register_args(ControlLowRankConfig())
+        args.parse_args([
+            "--model_name", "wan", "--pretrained_model_name_or_path", "tiny",
+            "--training_type", "control-lora",
+            "--dataset_config", str(config_path),
+            "--train_steps", "3", "--batch_size", "1", "--dp_shards", "8",
+            "--checkpointing_steps", "3", "--precomputation_items", "2",
+            "--transformer_dtype", "fp32",
+            "--rank", "2", "--lora_alpha", "2", "--control_type", "canny",
+            "--frame_conditioning_type", "full", "--train_qk_norm",
+            "--output_dir", str(tmp_path / "out"), "--seed", "7",
+        ])
+
+        spec = WanControlModelSpecification(
+            transformer_config=dict(TINY_WAN), vae_config=TINY_VAE, lora_rank=2, lora_alpha=2)
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        spec.load_condition_models = lambda: {
+            "tokenizer": None, "text_encoder": HashEncoder(hidden_size=32, max_length=8)
+        }
+        trainer = ControlTrainer(args, spec)
+        trainer.run()
+
+        # Widened input: 4 -> 8 channels
+        assert spec.transformer_config["in_channels"] == 8
+        lora_dir = tmp_path / "out" / "lora_weights" / "000003"
+        assert (lora_dir / "pytorch_lora_weights.safetensors").exists()
+        assert (lora_dir / "control_aux_weights.safetensors").exists()
+
+        from finetrainers_tpu.utils.serialization import safetensors_load_dict
+
+        aux = safetensors_load_dict(str(lora_dir / "control_aux_weights.safetensors"))
+        assert any("patch_embedding" in k for k in aux), "injection layer must train at full rank"
+        assert any("norm_q" in k for k in aux), "qk norms must be trained with --train_qk_norm"
