@@ -14,6 +14,18 @@ import cv2
 import numpy as np
 from PIL import Image
 
+from ..native import get_media_ops
+
+
+def _u8_hwc_to_float_chw(arr: np.ndarray) -> np.ndarray:
+    """uint8 (...,H,W,C) -> float32 (...,C,H,W) in [-1,1]; fused native kernel
+    when the C++ extension is available (multithreaded, zero intermediates)."""
+    ops = get_media_ops()
+    if ops is not None:
+        return ops.to_float_chw(np.ascontiguousarray(arr))
+    out = arr.astype(np.float32) / 127.5 - 1.0
+    return np.moveaxis(out, -1, -3)
+
 
 def load_image(path_or_pil, to_float: bool = True) -> np.ndarray:
     """-> (C, H, W) float32 in [-1,1] (or uint8 HWC if to_float=False)."""
@@ -26,8 +38,7 @@ def load_image(path_or_pil, to_float: bool = True) -> np.ndarray:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if not to_float:
         return img
-    out = img.astype(np.float32) / 127.5 - 1.0
-    return np.moveaxis(out, -1, 0)
+    return _u8_hwc_to_float_chw(img)
 
 
 def load_video(path, max_frames: Optional[int] = None, to_float: bool = True) -> np.ndarray:
@@ -49,8 +60,7 @@ def load_video(path, max_frames: Optional[int] = None, to_float: bool = True) ->
     video = np.stack(frames)
     if not to_float:
         return video
-    out = video.astype(np.float32) / 127.5 - 1.0
-    return np.moveaxis(out, -1, 1)
+    return _u8_hwc_to_float_chw(video)
 
 
 def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:

@@ -104,6 +104,18 @@ class SFTTrainer(Trainer):
     def _finalize_trainable(self, params, mask) -> None:
         trainable, frozen = split_params(params, mask)
 
+        # FP8 layerwise weight storage (reference --layerwise_upcasting_modules):
+        # frozen weights stored as fp8 in HBM; upcast fuses into consuming matmuls.
+        if "transformer" in (getattr(self.args, "layerwise_upcasting_modules", None) or []):
+            from ...utils.fp8 import apply_layerwise_storage_dtype
+
+            frozen = apply_layerwise_storage_dtype(
+                frozen,
+                storage_dtype=self.args.layerwise_upcasting_storage_dtype,
+                skip_patterns=self.args.layerwise_upcasting_skip_modules_pattern,
+            )
+            logger.info("Applied fp8 layerwise weight storage to frozen transformer params")
+
         # Declarative sharding: FSDP dim inference + per-model TP rules.
         shardings = make_param_shardings(
             params, self.mesh_env.mesh, tp_rules=self.model_specification.tp_rules()

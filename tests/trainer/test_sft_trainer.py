@@ -176,3 +176,30 @@ class TestSFTTrainer:
                   if "train/global_avg_loss" in l]
         assert len(losses) >= 20
         assert np.mean(losses[-5:]) < np.mean(losses[:5]), f"loss did not decrease: {losses[:5]} -> {losses[-5:]}"
+
+
+class TestFP8Storage:
+    def test_fp8_layerwise_training(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8",
+             "--layerwise_upcasting_modules", "transformer"],
+            train_steps=3,
+        )
+        assert (tmp_path / "checkpoints").exists()
+
+    def test_fp8_cast_skips_norms_and_embeds(self):
+        import jax.numpy as jnp
+        from finetrainers_tpu.utils.fp8 import apply_layerwise_storage_dtype
+
+        params = {
+            "blocks_0": {"attn1": {"to_q": {"kernel": jnp.ones((8, 8)), "bias": jnp.ones((8,))}},
+                         "norm1": {"scale": jnp.ones((8,))}},
+            "patch_embed": {"kernel": jnp.ones((8, 8))},
+        }
+        out = apply_layerwise_storage_dtype(params)
+        assert out["blocks_0"]["attn1"]["to_q"]["kernel"].dtype == jnp.float8_e4m3fn
+        assert out["blocks_0"]["attn1"]["to_q"]["bias"].dtype == jnp.float32
+        assert out["patch_embed"]["kernel"].dtype == jnp.float32
+        assert out["blocks_0"]["norm1"]["scale"].dtype == jnp.float32
