@@ -9,13 +9,15 @@ import numpy as np
 
 
 def convert_byte_str_to_str(s: str, encoding: str = "utf-8") -> str:
-    """Extract the string from a stringified bytes literal, e.g. "b'hi'" -> "hi"."""
+    """Extract the string from a stringified bytes literal, e.g. "b'hi'" -> "hi".
+    Plain strings pass through untouched."""
+    if not (len(s) >= 3 and s[0] == "b" and s[1] in ("'", '"') and s[-1] == s[1]):
+        return s
     try:
-        s = s[2:-1]
-        s = s.encode("utf-8").decode(encoding)
+        inner = s[2:-1]
+        return inner.encode("utf-8").decode(encoding)
     except (UnicodeDecodeError, UnicodeEncodeError, IndexError):
-        pass
-    return s
+        return s
 
 
 def dropout_caption(caption: Union[str, List[str]], dropout_p: float = 0) -> Union[str, List[str]]:

@@ -41,6 +41,19 @@ class Trainer:
 
     # ------------------------------------------------------------------ setup
     def _init_distributed(self) -> None:
+        import os
+
+        # Multi-host: single-controller JAX discovers peers via the coordinator
+        # (the analog of the reference's torchrun + init_process_group("nccl"),
+        # parallel/ptd.py:80). Single-host runs skip this entirely.
+        if os.environ.get("COORDINATOR_ADDRESS") and jax.process_count() == 1:
+            try:
+                jax.distributed.initialize()
+                logger.info(
+                    f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}"
+                )
+            except Exception as e:
+                logger.warning(f"jax.distributed.initialize failed: {e}")
         dims = ParallelDims.from_args(self.args)
         n = jax.device_count()
         if dims.world_size == 1 and n > 1:

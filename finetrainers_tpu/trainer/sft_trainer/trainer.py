@@ -198,7 +198,10 @@ class SFTTrainer(Trainer):
                 return spec.forward(handle, conditions, latent_conditions, sigmas, rng_fwd)
 
             if gradient_checkpointing:
-                forward = jax.checkpoint(forward)
+                from ...utils.activation_checkpoint import apply_activation_checkpointing
+
+                # "full" matches the reference (trainer.py:157 hardcodes it).
+                forward = apply_activation_checkpointing(forward, checkpoint_type="full")
 
             def loss_fn(trainable):
                 params = merge_params(trainable, frozen)

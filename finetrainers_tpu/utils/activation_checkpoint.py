@@ -1,0 +1,49 @@
+"""Activation checkpointing (rematerialization) policies.
+
+Parity with reference `utils/activation_checkpoint.py:20-71` (types full / ops /
+block_skip). On TPU these map to `jax.checkpoint` policies instead of module
+wrappers:
+
+  - "full":       save nothing — recompute everything in backward
+                  (reference: checkpoint_wrapper on every block).
+  - "ops":        save matmul/attention outputs, recompute cheap elementwise ops
+                  (reference's selective op-save policy: mm every 2nd, SDPA).
+  - "block_skip": checkpoint only every Nth block (callers wrap alternate blocks;
+                  `should_checkpoint_block` gives the skip pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+
+
+CHECKPOINT_TYPES = ("full", "ops", "block_skip")
+
+
+def get_checkpoint_policy(checkpoint_type: str = "full") -> Optional[Callable]:
+    """jax.checkpoint `policy` for a reference checkpointing type."""
+    if checkpoint_type == "full":
+        return jax.checkpoint_policies.nothing_saveable
+    if checkpoint_type == "ops":
+        # Save the FLOPs-heavy results (dots == matmuls + attention contractions),
+        # recompute elementwise/norm ops: the analog of the reference's
+        # "save mm every 2nd + SDPA" selective policy.
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if checkpoint_type == "block_skip":
+        return jax.checkpoint_policies.nothing_saveable
+    raise ValueError(f"Unknown checkpoint type {checkpoint_type!r}; choose from {CHECKPOINT_TYPES}")
+
+
+def should_checkpoint_block(block_index: int, checkpoint_type: str = "full", skip_every: int = 2) -> bool:
+    """block_skip: remat alternate blocks only (reference block_skip semantics)."""
+    if checkpoint_type == "block_skip":
+        return block_index % skip_every == 0
+    return True
+
+
+def apply_activation_checkpointing(forward_fn: Callable, checkpoint_type: str = "full") -> Callable:
+    """Wrap a forward function with the requested remat policy."""
+    policy = get_checkpoint_policy(checkpoint_type)
+    return jax.checkpoint(forward_fn, policy=policy)

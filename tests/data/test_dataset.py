@@ -1,0 +1,188 @@
+"""Data-layer unit tests (reference tests/data/test_dataset.py: auto-detection +
+iteration per dataset class, shapes & captions)."""
+
+import csv
+import json
+import pathlib
+import sys
+import tarfile
+
+import numpy as np
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+from finetrainers_tpu.data import (
+    ImageCaptionFilePairDataset,
+    ImageFolderDataset,
+    ImageWebDataset,
+    IterableCombinedDataset,
+    ValidationDataset,
+    VideoFileCaptionFileListDataset,
+    VideoFolderDataset,
+    initialize_dataset,
+    wrap_iterable_dataset_for_preprocessing,
+)
+
+
+def _write_png(path, h=32, w=32):
+    import cv2
+
+    cv2.imwrite(str(path), np.random.randint(0, 255, (h, w, 3), np.uint8))
+
+
+def _write_mp4(path, frames=6, h=32, w=32):
+    import cv2
+
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (w, h))
+    for _ in range(frames):
+        writer.write(np.random.randint(0, 255, (h, w, 3), np.uint8))
+    writer.release()
+
+
+class TestDetection:
+    def test_caption_file_pairs(self, tmp_path):
+        _write_png(tmp_path / "a.png")
+        (tmp_path / "a.txt").write_text("an image")
+        ds = initialize_dataset(str(tmp_path), "image")
+        assert isinstance(ds, ImageCaptionFilePairDataset)
+        sample = next(iter(ds))
+        assert sample["caption"] == "an image"
+
+    def test_metadata_folder(self, tmp_path):
+        _write_mp4(tmp_path / "v.mp4")
+        with open(tmp_path / "metadata.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["file_name", "caption"])
+            w.writeheader()
+            w.writerow({"file_name": "v.mp4", "caption": "a video"})
+        ds = initialize_dataset(str(tmp_path), "video")
+        assert isinstance(ds, VideoFolderDataset)
+
+    def test_file_lists(self, tmp_path):
+        _write_mp4(tmp_path / "v0.mp4")
+        (tmp_path / "prompts.txt").write_text("first video\n")
+        (tmp_path / "videos.txt").write_text("v0.mp4\n")
+        ds = initialize_dataset(str(tmp_path), "video")
+        assert isinstance(ds, VideoFileCaptionFileListDataset)
+
+    def test_webdataset_tar(self, tmp_path):
+        import cv2
+
+        img_path = tmp_path / "000.jpg"
+        _write_png(img_path)
+        (tmp_path / "000.txt").write_text("tar caption")
+        with tarfile.open(tmp_path / "shard.tar", "w") as tf:
+            tf.add(img_path, arcname="000.jpg")
+            tf.add(tmp_path / "000.txt", arcname="000.txt")
+        img_path.unlink()
+        (tmp_path / "000.txt").unlink()
+        ds = initialize_dataset(str(tmp_path), "image")
+        assert isinstance(ds, ImageWebDataset)
+        sample = next(iter(ds))
+        assert sample["caption"] == "tar caption"
+        assert "image_bytes" in sample
+
+    def test_missing_raises(self):
+        with pytest.raises(FileNotFoundError):
+            initialize_dataset("/nonexistent/path", "video")
+
+
+class TestIterationAndState:
+    def test_resume_state(self, tmp_path):
+        for i in range(3):
+            _write_png(tmp_path / f"{i}.png")
+            (tmp_path / f"{i}.txt").write_text(f"caption {i}")
+        ds = ImageCaptionFilePairDataset(str(tmp_path))
+        it = iter(ds)
+        first = next(it)
+        state = ds.state_dict()
+        ds2 = ImageCaptionFilePairDataset(str(tmp_path))
+        ds2.load_state_dict(state)
+        second = next(iter(ds2))
+        assert second["caption"] != first["caption"]
+
+    def test_infinite_looping(self, tmp_path):
+        _write_png(tmp_path / "a.png")
+        (tmp_path / "a.txt").write_text("x")
+        ds = ImageCaptionFilePairDataset(str(tmp_path), infinite=True)
+        it = iter(ds)
+        samples = [next(it) for _ in range(5)]
+        assert len(samples) == 5
+
+    def test_combined_round_robin(self, tmp_path):
+        for name in ("a", "b"):
+            d = tmp_path / name
+            d.mkdir()
+            _write_png(d / "x.png")
+            (d / "x.txt").write_text(name)
+        ds = IterableCombinedDataset(
+            [ImageCaptionFilePairDataset(str(tmp_path / "a")),
+             ImageCaptionFilePairDataset(str(tmp_path / "b"))]
+        )
+        captions = sorted(s["caption"] for s in ds)
+        assert captions == ["a", "b"]
+
+
+class TestPreprocessingWrapper:
+    def test_image_bucketing_and_prefix(self, tmp_path):
+        _write_png(tmp_path / "a.png", h=100, w=100)
+        (tmp_path / "a.txt").write_text("The video shows a cat")
+        ds = ImageCaptionFilePairDataset(str(tmp_path))
+        wrapped = wrap_iterable_dataset_for_preprocessing(
+            ds, "image",
+            {"image_resolution_buckets": [(32, 32)], "id_token": "TOK",
+             "remove_common_llm_caption_prefixes": True},
+        )
+        sample = next(iter(wrapped))
+        assert sample["image"].shape == (3, 32, 32)
+        assert sample["caption"] == "TOK shows a cat"
+        assert sample["image"].dtype == np.float32
+        # bicubic interpolation overshoots slightly (reference behavior: no clamp)
+        assert -1.6 <= sample["image"].min() and sample["image"].max() <= 1.6
+
+    def test_video_bucketing(self, tmp_path):
+        _write_mp4(tmp_path / "v.mp4", frames=8, h=64, w=64)
+        (tmp_path / "v.txt").write_text("clip")
+        from finetrainers_tpu.data import VideoCaptionFilePairDataset
+
+        ds = VideoCaptionFilePairDataset(str(tmp_path))
+        wrapped = wrap_iterable_dataset_for_preprocessing(
+            ds, "video", {"video_resolution_buckets": [(4, 32, 32)]},
+        )
+        sample = next(iter(wrapped))
+        assert sample["video"].shape == (4, 3, 32, 32)
+
+
+class TestValidationDataset:
+    def test_csv_aliases_and_types(self, tmp_path):
+        path = tmp_path / "val.csv"
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["caption", "height", "width", "num_frames"])
+            w.writeheader()
+            w.writerow({"caption": "hello", "height": "32", "width": "48", "num_frames": "5"})
+        ds = ValidationDataset(str(path))
+        sample = next(iter(ds))
+        assert sample["prompt"] == "hello"
+        assert sample["height"] == 32 and isinstance(sample["height"], int)
+
+    def test_json(self, tmp_path):
+        path = tmp_path / "val.json"
+        path.write_text(json.dumps({"data": [{"prompt": "p1"}, {"prompt": "p2"}]}))
+        ds = ValidationDataset(str(path))
+        assert len(ds) == 2
+
+    def test_jsonl(self, tmp_path):
+        path = tmp_path / "val.jsonl"
+        path.write_text('{"caption": "a"}\n{"caption": "b"}\n')
+        ds = ValidationDataset(str(path))
+        assert [s["prompt"] for s in ds] == ["a", "b"]
+
+    def test_parquet(self, tmp_path):
+        import pandas as pd
+
+        path = tmp_path / "val.parquet"
+        pd.DataFrame([{"caption": "x", "height": 16}]).to_parquet(path)
+        ds = ValidationDataset(str(path))
+        sample = next(iter(ds))
+        assert sample["prompt"] == "x"
