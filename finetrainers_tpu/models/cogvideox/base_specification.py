@@ -91,6 +91,9 @@ class CogVideoXModelSpecification(ModelSpecification):
             jnp.zeros((1, 8, cfg["text_embed_dim"])),
             jnp.zeros((1,)),
         )["params"]
+        from .weights import load_cogvideox_transformer_params
+
+        params = self._maybe_load_pretrained_transformer(params, load_cogvideox_transformer_params)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": self._scheduler,

@@ -80,6 +80,9 @@ class CogView4ModelSpecification(ModelSpecification):
             jnp.zeros((1, 8, cfg["text_embed_dim"])),
             jnp.zeros((1,)),
         )["params"]
+        from .weights import load_cogview4_transformer_params
+
+        params = self._maybe_load_pretrained_transformer(params, load_cogview4_transformer_params)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(),

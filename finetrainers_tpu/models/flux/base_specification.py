@@ -97,6 +97,9 @@ class FluxModelSpecification(ModelSpecification):
             jnp.zeros((4, 3)),
             jnp.zeros((8, 3)),
         )["params"]
+        from .weights import load_flux_transformer_params
+
+        params = self._maybe_load_pretrained_transformer(params, load_flux_transformer_params)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(use_dynamic_shifting=True),

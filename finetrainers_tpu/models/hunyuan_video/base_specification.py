@@ -89,6 +89,9 @@ class HunyuanVideoModelSpecification(ModelSpecification):
             jnp.zeros((1,)),
             jnp.zeros((1, cfg["pooled_projection_dim"])),
         )["params"]
+        from .weights import load_hunyuan_transformer_params
+
+        params = self._maybe_load_pretrained_transformer(params, load_hunyuan_transformer_params)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(shift=7.0),

@@ -111,6 +111,9 @@ class LTXVideoModelSpecification(ModelSpecification):
             jnp.zeros((1,)),
             num_frames=2, height=2, width=2,
         )["params"]
+        from .weights import load_ltx_transformer_params
+
+        params = self._maybe_load_pretrained_transformer(params, load_ltx_transformer_params)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(),

@@ -158,6 +158,27 @@ class ModelSpecification:
             os.path.join(directory, "model.safetensors"),
         )
 
+    def _maybe_load_pretrained_transformer(self, params, converter, subfolder: str = "transformer"):
+        """If the pretrained path is a local diffusers directory, convert its
+        weights into `params` (LoRA leaves keep their fresh init); otherwise
+        return `params` unchanged (hub download requires network)."""
+        import os
+
+        from .weight_utils import load_diffusers_checkpoint_dir
+
+        for candidate in (
+            self.transformer_id,
+            os.path.join(self.pretrained_model_name_or_path or "", subfolder),
+        ):
+            if candidate and os.path.isdir(candidate) and (
+                os.path.exists(os.path.join(candidate, "config.json"))
+                or any(f.endswith(".safetensors") for f in os.listdir(candidate))
+            ):
+                state = load_diffusers_checkpoint_dir(candidate)
+                logger.info(f"Loading transformer weights from {candidate} ({len(state)} tensors)")
+                return converter(state, params)
+        return params
+
     # ------------------------------------------------------------- parallelism
     def tp_rules(self) -> List[Tuple[str, Any]]:
         """Tensor-parallel sharding rules: (param path regex, PartitionSpec).

@@ -114,6 +114,9 @@ class WanModelSpecification(ModelSpecification):
             jnp.zeros((1,)),
             **kwargs,
         )["params"]
+        from .weights import load_wan_transformer_params
+
+        params = self._maybe_load_pretrained_transformer(params, load_wan_transformer_params)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(shift=3.0),

@@ -134,6 +134,40 @@ def lora_peft_to_flax(state_dict: Dict[str, np.ndarray], prefix: str = "transfor
     return out
 
 
+def load_diffusers_checkpoint_dir(path: str) -> Dict[str, np.ndarray]:
+    """Read a diffusers-format model directory: config.json + one or more
+    safetensors shards (diffusion_pytorch_model*.safetensors), returning the merged
+    state dict (the torch-side input to the per-model converters)."""
+    import json
+    import pathlib
+
+    from ..utils.serialization import safetensors_load_dict
+
+    root = pathlib.Path(path)
+    index = root / "diffusion_pytorch_model.safetensors.index.json"
+    state: Dict[str, np.ndarray] = {}
+    if index.exists():
+        shards = sorted(set(json.loads(index.read_text())["weight_map"].values()))
+        for shard in shards:
+            state.update(safetensors_load_dict(str(root / shard)))
+    else:
+        shards = sorted(root.glob("diffusion_pytorch_model*.safetensors")) or sorted(
+            root.glob("*.safetensors")
+        )
+        if not shards:
+            raise FileNotFoundError(f"No safetensors shards found under {path}")
+        for shard in shards:
+            state.update(safetensors_load_dict(str(shard)))
+    return state
+
+
+def load_diffusers_config(path: str) -> Dict[str, Any]:
+    import json
+    import pathlib
+
+    return json.loads((pathlib.Path(path) / "config.json").read_text())
+
+
 def _np_dtype(target) -> np.dtype:
     dtype = getattr(target, "dtype", np.float32)
     try:

@@ -14,7 +14,9 @@ import numpy as np
 def safetensors_save_dict(tensors: Dict[str, np.ndarray], path: str, metadata: Optional[Dict[str, str]] = None) -> None:
     from safetensors.numpy import save_file
 
-    tensors = {k: np.asarray(v) for k, v in tensors.items()}
+    # ascontiguousarray is load-bearing: safetensors serializes raw buffers, and
+    # transposed (non-contiguous) views would round-trip corrupted.
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     save_file(tensors, path, metadata=metadata)
 
 
