@@ -38,6 +38,7 @@ class Trainer:
 
         self._init_distributed()
         self._init_determinism()
+        self._init_config_options()
 
     # ------------------------------------------------------------------ setup
     def _init_distributed(self) -> None:
@@ -69,6 +70,16 @@ class Trainer:
     def _init_determinism(self) -> None:
         seed = self.args.seed if self.args.seed is not None else 0
         self.rng = jax.random.PRNGKey(seed)
+
+    def _init_config_options(self) -> None:
+        """Matmul precision knobs (reference trainer/base.py:127-131 sets TF32/
+        matmul precision; the TPU analog is the default matmul precision)."""
+        mapping = {"highest": "float32", "high": "bfloat16_3x", "medium": "bfloat16"}
+        precision = mapping.get(getattr(self.args, "float32_matmul_precision", "highest"))
+        if getattr(self.args, "allow_tf32", False) and precision == "float32":
+            precision = "bfloat16_3x"  # TF32-ish: 3-pass bf16 accumulation
+        if precision and precision != "float32":
+            jax.config.update("jax_default_matmul_precision", precision)
 
     @staticmethod
     def _parse_attention_providers(mapping: Optional[List[str]]) -> Dict[str, str]:
