@@ -56,14 +56,21 @@ class CausalConv3d(nn.Module):
 
 
 class GroupNorm(nn.Module):
+    """Per-frame GroupNorm: statistics are computed within each frame (time folded
+    into batch) — normalizing across time would break the causal property the
+    video VAEs rely on."""
+
     num_groups: int = 32
     eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]), epsilon=self.eps,
-                            dtype=jnp.float32, name="norm")(x.astype(jnp.float32)).astype(x.dtype)
+        b, t = x.shape[0], x.shape[1]
+        flat = x.reshape((b * t,) + x.shape[2:])
+        out = nn.GroupNorm(num_groups=min(self.num_groups, x.shape[-1]), epsilon=self.eps,
+                           dtype=jnp.float32, name="norm")(flat.astype(jnp.float32))
+        return out.reshape(x.shape).astype(x.dtype)
 
 
 class ResBlock3d(nn.Module):
@@ -199,6 +206,46 @@ class AutoencoderKL3D(nn.Module):
         moments = self.encode(x)
         mean, _ = jnp.split(moments, 2, axis=1)
         return self.decode(mean)
+
+
+def encode_sliced(vae_handle, x: jax.Array, slice_size: int = 1) -> jax.Array:
+    """Batch-sliced VAE encode (reference --enable_slicing: encode one sample at a
+    time to bound peak memory; `vae.use_slicing` path in prepare_latents)."""
+    if x.shape[0] <= slice_size:
+        return vae_handle.apply(x, method=type(vae_handle.module).encode)
+    chunks = [
+        vae_handle.apply(x[i : i + slice_size], method=type(vae_handle.module).encode)
+        for i in range(0, x.shape[0], slice_size)
+    ]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def encode_tiled(
+    vae_handle, x: jax.Array, tile: int = 256, overlap: int = 32
+) -> jax.Array:
+    """Spatially-tiled VAE encode (reference --enable_tiling): encode overlapping
+    spatial tiles and blend; bounds activation memory for large resolutions."""
+    b, c, t, h, w = x.shape
+    if h <= tile and w <= tile:
+        return vae_handle.apply(x, method=type(vae_handle.module).encode)
+    ratio = vae_handle.config["spatial_compression_ratio"] if hasattr(vae_handle, "config") else 8
+    stride = tile - overlap
+    out = None
+    weight = None
+    for y0 in range(0, max(h - overlap, 1), stride):
+        for x0 in range(0, max(w - overlap, 1), stride):
+            y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+            patch = x[:, :, :, y0:y1, x0:x1]
+            enc = vae_handle.apply(patch, method=type(vae_handle.module).encode)
+            if out is None:
+                lt, lh, lw = enc.shape[2], h // ratio, w // ratio
+                out = jnp.zeros((b, enc.shape[1], lt, lh, lw), enc.dtype)
+                weight = jnp.zeros((1, 1, 1, lh, lw), enc.dtype)
+            ly0, lx0 = y0 // ratio, x0 // ratio
+            ly1, lx1 = ly0 + enc.shape[3], lx0 + enc.shape[4]
+            out = out.at[:, :, :, ly0:ly1, lx0:lx1].add(enc)
+            weight = weight.at[:, :, :, ly0:ly1, lx0:lx1].add(1.0)
+    return out / jnp.maximum(weight, 1.0)
 
 
 def sample_from_moments(moments: jax.Array, rng: jax.Array) -> jax.Array:
