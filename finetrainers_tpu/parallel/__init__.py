@@ -1,6 +1,6 @@
 from .mesh import AXIS_CP, AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_TP, BATCH_AXES, MeshEnv, ParallelDims
 from .sharding import derive_opt_state_shardings, infer_fsdp_spec, make_param_shardings, shard_pytree
-from .utils import dist_max, dist_mean
+from .utils import dist_max, dist_mean, dist_reduce
 
 
 __all__ = [
@@ -16,5 +16,6 @@ __all__ = [
     "make_param_shardings",
     "shard_pytree",
     "dist_max",
+    "dist_reduce",
     "dist_mean",
 ]

@@ -13,6 +13,17 @@ import jax
 import jax.numpy as jnp
 
 
+def dist_reduce(x, op: str = "mean", axis_names=None):
+    """Generic scalar reduction (reference parallel/utils.py:6-13)."""
+    if op == "mean":
+        return dist_mean(x, axis_names)
+    if op == "max":
+        return dist_max(x, axis_names)
+    if op == "sum":
+        return jax.lax.psum(x, axis_names) if axis_names else jnp.sum(jnp.asarray(x))
+    raise ValueError(f"Unsupported reduce op {op!r}")
+
+
 def dist_mean(x, axis_names=None):
     if axis_names:
         return jax.lax.pmean(x, axis_names)

@@ -421,8 +421,34 @@ class SFTTrainer(Trainer):
         self._save_checkpoint(force=True)
         if args.validation_dataset_file:
             self._validate(train_state.step, final=True)
+        self._finalize_run()
         logger.info(f"Memory after training: {get_memory_statistics()}")
         self.tracker.finish()
+
+    def _finalize_run(self) -> None:
+        """Model card + optional hub push (reference trainer :562-581)."""
+        args = self.args
+        if not self.mesh_env.is_main_process:
+            return
+        from ...utils.hub import push_to_hub, save_model_card
+
+        media = "video" if "video" in (args.model_name or "") or args.model_name in ("wan", "dummy") else "image"
+        save_model_card(
+            args.output_dir,
+            base_model=args.pretrained_model_name_or_path or "unknown",
+            model_name=args.tracker_name,
+            training_details={
+                "training_type": args.training_type,
+                "steps": self.state.train_state.step,
+                "learning_rate": args.lr,
+                "trainable_parameters": self.state.num_trainable_parameters,
+                "final_loss": (self.state.train_state.global_avg_losses or [None])[-1],
+            },
+            media=media,
+        )
+        if args.push_to_hub:
+            repo_id = args.hub_model_id or args.tracker_name
+            push_to_hub(repo_id, args.output_dir, token=args.hub_token)
 
     def _save_checkpoint(self, force: bool = False) -> None:
         if self.checkpointer.latest_step() == self.state.train_state.step:

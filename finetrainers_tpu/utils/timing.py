@@ -39,3 +39,34 @@ class Timer:
         if FINETRAINERS_ENABLE_TIMING and self._start is not None:
             self._sync()
             self.elapsed = time.perf_counter() - self._start
+
+
+class ProfilerTrace:
+    """XPlane trace capture (SURVEY §5: the TPU analog of the reference's
+    CUDA-event timing is `jax.profiler`). View the output with TensorBoard or
+    xprof. Usage:
+
+        with ProfilerTrace("traces/step100"):
+            train_step(...)
+    """
+
+    def __init__(self, log_dir: str) -> None:
+        self.log_dir = log_dir
+
+    def __enter__(self) -> "ProfilerTrace":
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        import jax
+
+        self._sync_all()
+        jax.profiler.stop_trace()
+
+    @staticmethod
+    def _sync_all() -> None:
+        import jax
+
+        (jax.device_put(0.0) + 0).block_until_ready()
