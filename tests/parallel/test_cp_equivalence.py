@@ -1,0 +1,71 @@
+"""CP numerical-equivalence: with the latent sequence dim sharded over the cp
+axis, loss and gradients must match the unsharded computation (GSPMD all-gather
+KV attention path)."""
+
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO_ROOT))
+
+from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+from finetrainers_tpu.models.ltx_video import LTXVideoModelSpecification
+from finetrainers_tpu.models.modeling_utils import ModelHandle
+from finetrainers_tpu.parallel import MeshEnv, ParallelDims, make_param_shardings, shard_pytree
+from finetrainers_tpu.processors import HashEncoder
+
+
+TINY = dict(in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+            cross_attention_dim=16, num_layers=2, caption_channels=32)
+TINY_VAE = AutoencoderConfig(latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+                             spatial_downsample=(True,), temporal_downsample=(True,))
+
+
+class TestCPEquivalence:
+    def test_cp2_loss_and_grads_match(self):
+        spec = LTXVideoModelSpecification(transformer_config=TINY, vae_config=TINY_VAE)
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        spec.first_frame_conditioning_p = 0.0  # deterministic given the rng path
+        tr = spec.load_diffusion_models()["transformer"]
+        vae = spec.load_latent_models()["vae"]
+        enc = HashEncoder(hidden_size=32, max_length=8)
+        conds = {k: jnp.asarray(v) for k, v in spec.prepare_conditions(caption="x", text_encoder=enc).items()}
+        # 9 video frames -> 5 latent frames... use 7 -> 4 latent frames (divisible by cp=2)
+        lats = {k: jnp.asarray(v) for k, v in
+                spec.prepare_latents(vae, video=np.zeros((7, 3, 16, 16), np.float32)).items()}
+        assert lats["latents"].shape[2] % 2 == 0
+
+        def loss_fn(params):
+            handle = ModelHandle(tr.module, params, tr.config)
+            pred, target, _ = spec.forward(handle, conds, lats, jnp.asarray([0.5]), jax.random.PRNGKey(3))
+            return jnp.mean((pred - target) ** 2)
+
+        loss_ref, grads_ref = jax.value_and_grad(loss_fn)(tr.params)
+
+        env = MeshEnv(ParallelDims(dp_shard=2, cp=2, tp=2))
+        shardings = make_param_shardings(tr.params, env.mesh, tp_rules=spec.tp_rules(), min_weight_size=1)
+        params_sharded = shard_pytree(jax.tree_util.tree_map(np.asarray, tr.params), shardings)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seq_dim = spec.cp_plan()["latents"]
+        spec_list = [None] * lats["latents"].ndim
+        spec_list[seq_dim] = "cp"  # batch=1 stays replicated; only the seq dim shards
+        lats_cp = dict(lats)
+        lats_cp["latents"] = jax.device_put(
+            lats["latents"], NamedSharding(env.mesh, P(*spec_list))
+        )
+
+        def loss_fn_cp(params):
+            handle = ModelHandle(tr.module, params, tr.config)
+            pred, target, _ = spec.forward(handle, conds, lats_cp, jnp.asarray([0.5]), jax.random.PRNGKey(3))
+            return jnp.mean((pred - target) ** 2)
+
+        loss_cp, grads_cp = jax.jit(jax.value_and_grad(loss_fn_cp))(params_sharded)
+        np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(grads_cp), jax.tree_util.tree_leaves(grads_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
