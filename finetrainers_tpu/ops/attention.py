@@ -214,12 +214,31 @@ def _register_flash_providers():
     @_AttentionProviderRegistry.register("ring", supports_cp=True)
     def _ring(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
         del dropout_p
-        from .ring_attention import ring_attention
-
         registry = _AttentionProviderRegistry
         if registry._cp_axis is None:
             # Outside a CP region, ring attention degrades to flash.
             return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+        # Ring attention covers the CP self-attention case (Sq == Skv, no mask,
+        # default scale, MHA). Anything else falls back to flash (GSPMD will
+        # all-gather the KV shards instead of ring-rotating them).
+        is_self = (
+            query.shape[1] == key.shape[1]
+            and query.shape[2] == key.shape[2]
+            and kv_lens is None and attn_mask is None and not is_causal
+            and (scale is None or scale == query.shape[-1] ** -0.5)
+        )
+        if not is_self:
+            return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+        if registry._cp_mesh is not None:
+            # Inside the trainer's plain-jit step: GSPMD-composable ring attention
+            # (custom_partitioning shards to per-device ring when the sequence dim
+            # is sharded over the cp axis).
+            from .cp_attention import cp_flash_attention
+
+            return cp_flash_attention(query, key, value)
+        # Explicit shard_map context (axis name bound): per-shard ring.
+        from .ring_attention import ring_attention
+
         return ring_attention(query, key, value, axis_name=registry._cp_axis, scale=scale)
 
 

@@ -203,3 +203,15 @@ class TestFP8Storage:
         assert out["blocks_0"]["attn1"]["to_q"]["bias"].dtype == jnp.float32
         assert out["patch_embed"]["kernel"].dtype == jnp.float32
         assert out["blocks_0"]["norm1"]["scale"].dtype == jnp.float32
+
+
+class TestRingAttentionCP:
+    def test_ring_provider_cp_training(self, tmp_path, tiny_dataset):
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "2", "--cp_degree", "4",
+             "--attn_provider_training", "transformer:ring"],
+            train_steps=3,
+        )
+        assert (tmp_path / "checkpoints").exists()
