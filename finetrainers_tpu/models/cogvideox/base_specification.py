@@ -85,9 +85,10 @@ class CogVideoXModelSpecification(ModelSpecification):
             dtype=self.transformer_dtype,
         )
         cfg = self.transformer_config
+        init_frames = cfg.get("patch_size_t") or 1
         params = module.init(
             jax.random.PRNGKey(0),
-            jnp.zeros((1, 1, cfg["in_channels"], 2 * cfg["patch_size"], 2 * cfg["patch_size"])),
+            jnp.zeros((1, init_frames, cfg["in_channels"], 2 * cfg["patch_size"], 2 * cfg["patch_size"])),
             jnp.zeros((1, 8, cfg["text_embed_dim"])),
             jnp.zeros((1,)),
         )["params"]
@@ -152,6 +153,14 @@ class CogVideoXModelSpecification(ModelSpecification):
         logvar = jnp.clip(logvar, -30.0, 20.0)
         latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng_post, mean.shape)
         latents = latents * self.vae_scaling_factor
+
+        # CogVideoX 1.5 (patch_size_t=2): pad frames to a multiple of patch_size_t
+        # by repeating the last frame (reference _pad_frames :403-408).
+        pt = self.transformer_config.get("patch_size_t") or 1
+        if pt > 1 and latents.shape[1] % pt != 0:
+            extra = pt - latents.shape[1] % pt
+            pad = jnp.repeat(latents[:, -1:], extra, axis=1)
+            latents = jnp.concatenate([latents, pad], axis=1)
 
         timesteps = jnp.clip((sigmas * scheduler.num_train_timesteps).astype(jnp.int32),
                              0, scheduler.num_train_timesteps - 1)

@@ -143,11 +143,13 @@ class CogVideoXTransformer3DModel(nn.Module):
         inner = self.num_attention_heads * self.attention_head_dim
         b, f, c, h, w = hidden_states.shape
         p = self.patch_size
+        pt = self.patch_size_t or 1
         ph, pw = h // p, w // p
+        pf = f // pt
 
-        # Patchify per-frame (2D patches)
-        x = hidden_states.reshape(b, f, c, ph, p, pw, p)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, f * ph * pw, c * p * p)
+        # Patchify: 2D patches per frame (1.0) or 3D patches (1.5, patch_size_t=2).
+        x = hidden_states.reshape(b, pf, pt, c, ph, p, pw, p)
+        x = x.transpose(0, 1, 4, 6, 2, 3, 5, 7).reshape(b, pf * ph * pw, pt * c * p * p)
         x = LoRADense(inner, dtype=self.dtype, name="patch_embed_proj")(x.astype(self.dtype))
         context = LoRADense(inner, dtype=self.dtype, name="patch_embed_text_proj")(
             encoder_hidden_states.astype(self.dtype))
@@ -177,7 +179,7 @@ class CogVideoXTransformer3DModel(nn.Module):
 
         freqs = None
         if self.use_rotary_positional_embeddings:
-            freqs = cogvideox_rope_freqs(self.attention_head_dim, f, ph, pw)
+            freqs = cogvideox_rope_freqs(self.attention_head_dim, pf, ph, pw)
 
         for i in range(self.num_layers):
             x, context = CogVideoXBlock(
@@ -193,9 +195,9 @@ class CogVideoXTransformer3DModel(nn.Module):
         mod = LoRADense(2 * inner, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))
         shift, scale = jnp.split(mod, 2, axis=-1)
         x = LayerNorm(dtype=self.dtype, name="norm_out_ln")(x) * (1 + scale[:, None]) + shift[:, None]
-        x = LoRADense(self.out_channels * p * p, dtype=self.dtype, name="proj_out")(x)
+        x = LoRADense(self.out_channels * pt * p * p, dtype=self.dtype, name="proj_out")(x)
 
         # Unpatchify back to (B, F, C, H, W)
-        x = x.reshape(b, f, ph, pw, self.out_channels, p, p)
-        x = x.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, f, self.out_channels, h, w)
+        x = x.reshape(b, pf, ph, pw, pt, self.out_channels, p, p)
+        x = x.transpose(0, 1, 4, 5, 2, 6, 3, 7).reshape(b, f, self.out_channels, h, w)
         return x.astype(jnp.float32)
