@@ -221,7 +221,8 @@ class BaseArgs:
 
             print("Supported models:")
             for model_name, training_types in SUPPORTED_MODEL_CONFIGS.items():
-                print(f"  {model_name}: {sorted(t.value if hasattr(t, 'value') else t for t in training_types)}")
+                name = getattr(model_name, "value", model_name)
+                print(f"  {name}: {sorted(t.value if hasattr(t, 'value') else t for t in training_types)}")
             sys.exit(0)
 
         namespace = parser.parse_args(argv)
