@@ -46,12 +46,14 @@ class LTXAdaLayerNormSingle(nn.Module):
 
 
 class LTXRotaryPosEmbed(nn.Module):
-    """3D axial RoPE over (frame, row, col) token coordinates.
+    """3D RoPE over (frame, row, col) token coordinates, exact diffusers
+    `LTXVideoRotaryPosEmbed` semantics: computed over the FULL inner dim
+    (applied before the head split), `dim//6` log-spaced frequencies 1..theta
+    scaled by pi/2, positions mapped to (2*pos_normalized - 1), frequency slots
+    interleaved per-axis as (f_k, h_k, w_k) triples, and `dim % 6` identity
+    slots prepended."""
 
-    Head dim splits t/h/w as close to diffusers' LTX split as documented
-    (isolated here so exact-parity fixes touch one function)."""
-
-    head_dim: int
+    dim: int  # full inner dim (num_heads * head_dim)
     patch_size: int = 1
     patch_size_t: int = 1
     base_num_frames: int = 20
@@ -63,43 +65,54 @@ class LTXRotaryPosEmbed(nn.Module):
         self, num_frames: int, height: int, width: int,
         rope_interpolation_scale: Sequence[float],
     ) -> Tuple[jax.Array, jax.Array]:
-        pf = num_frames // self.patch_size_t
-        ph = height // self.patch_size
-        pw = width // self.patch_size
-        # token grid (f, h, w) in row-major order matching _pack_latents
-        f_ids = jnp.arange(pf, dtype=jnp.float32)
-        h_ids = jnp.arange(ph, dtype=jnp.float32)
-        w_ids = jnp.arange(pw, dtype=jnp.float32)
-        grid_f = jnp.repeat(f_ids, ph * pw)
-        grid_h = jnp.tile(jnp.repeat(h_ids, pw), pf)
-        grid_w = jnp.tile(w_ids, pf * ph)
+        import numpy as np
 
-        grid_f = grid_f * rope_interpolation_scale[0] * self.patch_size_t / self.base_num_frames
-        grid_h = grid_h * rope_interpolation_scale[1] * self.patch_size / self.base_height
-        grid_w = grid_w * rope_interpolation_scale[2] * self.patch_size / self.base_width
-
-        # Allocate the dim/2 frequency slots across axes (~1/4 temporal, rest
-        # split between height/width) — always exact regardless of head_dim.
-        total_slots = self.head_dim // 2
-        slots_t = max(total_slots // 4, 1)
-        slots_h = (total_slots - slots_t) // 2
-        slots_w = total_slots - slots_t - slots_h
-
-        def axis_freqs(pos, slots, span):
-            exponents = jnp.arange(slots, dtype=jnp.float32) / max(slots, 1)
-            inv_freq = 1.0 / (self.theta**exponents)
-            return pos[:, None] * inv_freq[None, :] * span
-
-        # Positions were normalized to [0,1); multiply back to base spans.
-        freqs = jnp.concatenate(
+        # All inputs are static (Python ints/floats), so the table is computed in
+        # numpy float64 at trace time: phases reach theta*pi/2 ~ 1.6e4 rad, where
+        # float32 phase rounding already perturbs cos/sin by ~1e-2. XLA sees the
+        # f32 result as a constant.
+        # Token grid over the latent dims in (f, h, w) row-major order, matching
+        # _pack_latents (diffusers builds the same grid via meshgrid(indexing="ij")).
+        gf, gh, gw = np.meshgrid(
+            np.arange(num_frames, dtype=np.float64),
+            np.arange(height, dtype=np.float64),
+            np.arange(width, dtype=np.float64),
+            indexing="ij",
+        )
+        grid = np.stack([gf.reshape(-1), gh.reshape(-1), gw.reshape(-1)], axis=-1)  # (S, 3)
+        scale = np.asarray(
             [
-                axis_freqs(grid_f, slots_t, self.base_num_frames),
-                axis_freqs(grid_h, slots_h, self.base_height),
-                axis_freqs(grid_w, slots_w, self.base_width),
+                rope_interpolation_scale[0] * self.patch_size_t / self.base_num_frames,
+                rope_interpolation_scale[1] * self.patch_size / self.base_height,
+                rope_interpolation_scale[2] * self.patch_size / self.base_width,
             ],
-            axis=-1,
-        )  # (S, head_dim/2)
-        return jnp.cos(freqs), jnp.sin(freqs)
+            np.float64,
+        )
+        grid = grid * scale[None, :]
+
+        n = self.dim // 6
+        # theta ** linspace(log_theta(1), log_theta(theta), n) == theta ** linspace(0, 1, n)
+        freqs = self.theta ** np.linspace(0.0, 1.0, n, dtype=np.float64)
+        freqs = freqs * (np.pi / 2.0)
+        freqs = freqs[None, None, :] * (grid[:, :, None] * 2.0 - 1.0)  # (S, 3, n)
+        freqs = np.swapaxes(freqs, -1, -2).reshape(grid.shape[0], -1)  # (S, 3n): (f_k,h_k,w_k) triples
+        cos = np.repeat(np.cos(freqs), 2, axis=-1)
+        sin = np.repeat(np.sin(freqs), 2, axis=-1)
+        pad = self.dim % 6
+        if pad:
+            cos = np.concatenate([np.ones((cos.shape[0], pad)), cos], axis=-1)
+            sin = np.concatenate([np.zeros((sin.shape[0], pad)), sin], axis=-1)
+        return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+
+
+def apply_ltx_rotary_emb(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Interleaved-pair rotation on the full inner dim (diffusers
+    `apply_rotary_emb` in transformer_ltx; reference TP-compat copy at
+    `patches/models/ltx_video/patch.py:24-35`). x: (B, S, D); cos/sin: (S, D)."""
+    x32 = x.astype(jnp.float32)
+    pairs = x32.reshape(*x.shape[:-1], -1, 2)
+    rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(x32.shape)
+    return (x32 * cos[None] + rotated * sin[None]).astype(x.dtype)
 
 
 class LTXAttention(nn.Module):
@@ -121,22 +134,16 @@ class LTXAttention(nn.Module):
         v = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_v")(ctx)
         q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
         k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
+        if freqs is not None:
+            # diffusers applies RoPE on the full inner dim BEFORE the head split.
+            cos, sin = freqs
+            q = apply_ltx_rotary_emb(q, cos, sin)
+            k = apply_ltx_rotary_emb(k, cos, sin)
         b, sq = q.shape[0], q.shape[1]
         skv = k.shape[1]
         q = q.reshape(b, sq, self.num_heads, self.head_dim)
         k = k.reshape(b, skv, self.num_heads, self.head_dim)
         v = v.reshape(b, skv, self.num_heads, self.head_dim)
-        if freqs is not None:
-            cos, sin = freqs
-
-            def rope(t):
-                t32 = t.astype(jnp.float32)
-                t1, t2 = jnp.split(t32, 2, axis=-1)
-                c = cos[None, :, None, :]
-                s = sin[None, :, None, :]
-                return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1).astype(t.dtype)
-
-            q, k = rope(q), rope(k)
         out = attention_dispatch(q, k, v, kv_lens=kv_lens)
         out = out.reshape(b, sq, inner)
         return LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_out")(out)
@@ -228,7 +235,7 @@ class LTXVideoTransformer3DModel(nn.Module):
                 kv_lens = encoder_attention_mask.astype(jnp.int32)
 
         freqs = LTXRotaryPosEmbed(
-            head_dim=self.attention_head_dim, patch_size=self.patch_size, patch_size_t=self.patch_size_t,
+            dim=inner, patch_size=self.patch_size, patch_size_t=self.patch_size_t,
             name="rope",
         )(num_frames, height, width, rope_interpolation_scale)
 
