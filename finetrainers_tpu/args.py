@@ -137,6 +137,10 @@ class BaseArgs:
     max_data_samples: int = 2**64
     gradient_accumulation_steps: int = 1
     gradient_checkpointing: bool = False
+    # Remat policy when gradient_checkpointing is on: full (save nothing per
+    # block), ops (save matmul/attention results), block_skip (checkpoint
+    # every 2nd block boundary). Mirrors reference utils/activation_checkpoint.py.
+    gradient_checkpointing_type: str = "full"
     checkpointing_steps: int = 500
     checkpointing_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None
@@ -280,7 +284,8 @@ class BaseArgs:
                 k: getattr(self, k)
                 for k in (
                     "training_type", "seed", "batch_size", "train_steps", "max_data_samples",
-                    "gradient_accumulation_steps", "gradient_checkpointing", "checkpointing_steps",
+                    "gradient_accumulation_steps", "gradient_checkpointing", "gradient_checkpointing_type",
+                    "checkpointing_steps",
                     "checkpointing_limit", "resume_from_checkpoint", "enable_slicing", "enable_tiling",
                 )
             },
@@ -378,6 +383,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--max_data_samples", type=int, default=2**64)
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
     parser.add_argument("--gradient_checkpointing", action="store_true")
+    parser.add_argument("--gradient_checkpointing_type", type=str, default="full",
+                        choices=["full", "ops", "block_skip"])
     parser.add_argument("--checkpointing_steps", type=int, default=500)
     parser.add_argument("--checkpointing_limit", type=int, default=None)
     parser.add_argument("--resume_from_checkpoint", type=str, default=None)

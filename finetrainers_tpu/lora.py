@@ -61,14 +61,23 @@ def extract_lora_state_dict(params) -> Dict[str, np.ndarray]:
     return {k: np.asarray(v) for k, v in flat.items() if any(lk in k for lk in LORA_KEYS)}
 
 
-def save_lora_weights(directory: str, lora_params, lora_config: Dict[str, Any]) -> None:
-    """Write inference-ready safetensors with the LoRA config embedded in the
-    safetensors metadata (reference trainer/sft_trainer/trainer.py:284-298)."""
+def save_lora_weights(directory: str, lora_params, lora_config: Dict[str, Any],
+                      key_map=None) -> None:
+    """Write inference-ready `pytorch_lora_weights.safetensors` in the
+    peft/diffusers key convention
+    (`transformer.transformer_blocks.0.attn1.to_q.lora_A.weight`, torch-layout
+    transposed), with the LoRA config embedded in the safetensors metadata
+    (reference trainer/sft_trainer/trainer.py:284-298). `key_map` is the
+    per-family flax->torch key mapping (e.g. LTX's ff.net renames)."""
+    from .models.weight_utils import lora_flax_to_peft
+
     os.makedirs(directory, exist_ok=True)
     if isinstance(lora_params, dict) and all(isinstance(v, np.ndarray) for v in lora_params.values()):
         state = lora_params  # already a flat state dict
     else:
         state = extract_lora_state_dict(lora_params)
+    if not any(".lora_A." in k or ".lora_B." in k for k in state):
+        state = lora_flax_to_peft(state, prefix="transformer", key_map=key_map)
     safetensors_save_dict(
         state,
         os.path.join(directory, "pytorch_lora_weights.safetensors"),
@@ -94,6 +103,26 @@ def apply_lora_state_dict(params, state_dict: Dict[str, np.ndarray]):
             raise KeyError(f"LoRA key {key!r} not found in target params")
         flat[key] = value.astype(np.asarray(flat[key]).dtype) if hasattr(flat[key], "dtype") else value
     return unflatten_params(flat)
+
+
+def apply_lora_to_module_params(params, module, state_dict: Dict[str, np.ndarray], key_map=None):
+    """Apply a loaded LoRA state dict (peft-convention or flax-flat keys) onto a
+    module's param tree, handling scan-stacked layouts (reference analog:
+    `patches/dependencies/diffusers/peft.py:19-62` metadata-aware loading)."""
+    from .models.weight_utils import (
+        lora_peft_to_flax,
+        scan_stacks_of,
+        stack_params_for_scan,
+        unstack_params_from_scan,
+    )
+
+    stacks = scan_stacks_of(module)
+    pb = unstack_params_from_scan(params, stacks) if stacks else params
+    if any(".lora_A." in k or ".lora_B." in k for k in state_dict):
+        lora_keys = [k for k in flatten_params(pb) if any(lk in k for lk in LORA_KEYS)]
+        state_dict = lora_peft_to_flax(state_dict, key_map=key_map, abstract_lora_keys=lora_keys)
+    pb = apply_lora_state_dict(pb, state_dict)
+    return stack_params_for_scan(pb, stacks) if stacks else pb
 
 
 def merge_lora_into_base(params, alpha_over_rank: Optional[float] = None):

@@ -39,6 +39,14 @@ COGVIDEOX_2B_CONFIG = dict(
 
 
 class CogVideoXModelSpecification(ModelSpecification):
+    transformer_class_name = "CogVideoXTransformer3DModel"
+
+    @staticmethod
+    def transformer_key_map(flax_key: str) -> str:
+        from .weights import cogvideox_key_map
+
+        return cogvideox_key_map(flax_key)
+
     def __init__(
         self,
         pretrained_model_name_or_path: str = "THUDM/CogVideoX-5b",
@@ -82,7 +90,7 @@ class CogVideoXModelSpecification(ModelSpecification):
     def load_diffusion_models(self) -> Dict[str, Any]:
         module = CogVideoXTransformer3DModel(
             **self.transformer_config, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.transformer_dtype,
+            dtype=self.transformer_dtype, **self._transformer_runtime_kwargs(),
         )
         cfg = self.transformer_config
         init_frames = cfg.get("patch_size_t") or 1
@@ -94,7 +102,7 @@ class CogVideoXModelSpecification(ModelSpecification):
         )["params"]
         from .weights import load_cogvideox_transformer_params
 
-        params = self._maybe_load_pretrained_transformer(params, load_cogvideox_transformer_params)
+        params = self._maybe_load_pretrained_transformer(params, load_cogvideox_transformer_params, module=module)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": self._scheduler,

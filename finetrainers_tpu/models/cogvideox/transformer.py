@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention_dispatch
-from ..layers import LayerNorm, LoRADense, sinusoidal_timestep_embedding
+from ..layers import (
+    LayerNorm,
+    LoRADense,
+    block_stack,
+    resolve_use_scan,
+    scan_group_size,
+    sinusoidal_timestep_embedding,
+)
 
 
 def cogvideox_rope_freqs(head_dim: int, num_frames: int, height: int, width: int,
@@ -131,6 +138,13 @@ class CogVideoXTransformer3DModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    use_scan: Optional[bool] = None
+    gradient_checkpointing: Optional[str] = None
+
+    def scan_stacks(self):
+        if not resolve_use_scan(self.use_scan, self.num_layers):
+            return []
+        return [("transformer_blocks", self.num_layers, scan_group_size(self.gradient_checkpointing))]
 
     @nn.compact
     def __call__(
@@ -181,12 +195,18 @@ class CogVideoXTransformer3DModel(nn.Module):
         if self.use_rotary_positional_embeddings:
             freqs = cogvideox_rope_freqs(self.attention_head_dim, pf, ph, pw)
 
-        for i in range(self.num_layers):
-            x, context = CogVideoXBlock(
-                inner, self.num_attention_heads, self.attention_head_dim, self.time_embed_dim,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
-            )(x, context, temb, freqs)
+        x, context = block_stack(
+            CogVideoXBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 time_embed_dim=self.time_embed_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            (x, context),
+            broadcast_args=(temb, freqs),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="transformer_blocks",
+        )
 
         full = jnp.concatenate([context, x], axis=1)
         full = LayerNorm(elementwise_affine=True, dtype=self.dtype, name="norm_final")(full)

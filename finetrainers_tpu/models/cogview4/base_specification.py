@@ -32,6 +32,14 @@ COGVIEW4_TRANSFORMER_CONFIG = dict(
 
 
 class CogView4ModelSpecification(ModelSpecification):
+    transformer_class_name = "CogView4Transformer2DModel"
+
+    @staticmethod
+    def transformer_key_map(flax_key: str) -> str:
+        from .weights import cogview4_key_map
+
+        return cogview4_key_map(flax_key)
+
     def __init__(
         self,
         pretrained_model_name_or_path: str = "THUDM/CogView4-6B",
@@ -71,7 +79,7 @@ class CogView4ModelSpecification(ModelSpecification):
     def load_diffusion_models(self) -> Dict[str, Any]:
         module = CogView4Transformer2DModel(
             **self.transformer_config, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.transformer_dtype,
+            dtype=self.transformer_dtype, **self._transformer_runtime_kwargs(),
         )
         cfg = self.transformer_config
         params = module.init(
@@ -82,7 +90,7 @@ class CogView4ModelSpecification(ModelSpecification):
         )["params"]
         from .weights import load_cogview4_transformer_params
 
-        params = self._maybe_load_pretrained_transformer(params, load_cogview4_transformer_params)
+        params = self._maybe_load_pretrained_transformer(params, load_cogview4_transformer_params, module=module)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(),

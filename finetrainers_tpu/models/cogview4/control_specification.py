@@ -47,6 +47,7 @@ class CogView4ControlModelSpecification(ControlModelSpecification, CogView4Model
             self.transformer_config = cfg
         module = CogView4Transformer2DModel(
             **cfg, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.transformer_dtype,
+            **self._transformer_runtime_kwargs(),
         )
         params = module.init(
             jax.random.PRNGKey(0),

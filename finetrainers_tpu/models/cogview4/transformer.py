@@ -17,7 +17,15 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention_dispatch
-from ..layers import LayerNorm, LoRADense, axial_rope_freqs, sinusoidal_timestep_embedding
+from ..layers import (
+    LayerNorm,
+    LoRADense,
+    axial_rope_freqs,
+    block_stack,
+    resolve_use_scan,
+    scan_group_size,
+    sinusoidal_timestep_embedding,
+)
 
 
 def _rope_interleaved(x, cos, sin):
@@ -92,6 +100,13 @@ class CogView4Transformer2DModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    use_scan: Optional[bool] = None
+    gradient_checkpointing: Optional[str] = None
+
+    def scan_stacks(self):
+        if not resolve_use_scan(self.use_scan, self.num_layers):
+            return []
+        return [("transformer_blocks", self.num_layers, scan_group_size(self.gradient_checkpointing))]
 
     @nn.compact
     def __call__(
@@ -130,12 +145,18 @@ class CogView4Transformer2DModel(nn.Module):
 
         freqs = axial_rope_freqs(self.attention_head_dim, (ph, pw), (0.5, 0.5))
 
-        for i in range(self.num_layers):
-            x, context = CogView4Block(
-                inner, self.num_attention_heads, self.attention_head_dim, self.time_embed_dim,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
-            )(x, context, temb, freqs)
+        x, context = block_stack(
+            CogView4Block,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 time_embed_dim=self.time_embed_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            (x, context),
+            broadcast_args=(temb, freqs),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="transformer_blocks",
+        )
 
         mod = LoRADense(2 * inner, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))
         shift, scale = jnp.split(mod, 2, axis=-1)

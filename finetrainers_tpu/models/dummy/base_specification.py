@@ -62,24 +62,6 @@ class DummyTransformerBlock(nn.Module):
         return x
 
 
-class _ScanBlock(nn.Module):
-    """scan-compatible (carry, out) wrapper over DummyTransformerBlock."""
-
-    dim: int
-    num_heads: int
-    lora_rank: int = 0
-    lora_alpha: float = 1.0
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, context, temb, kv_lens):
-        x = DummyTransformerBlock(
-            self.dim, self.num_heads, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.dtype, name="block",
-        )(x, context, temb, kv_lens=kv_lens)
-        return x, None
-
-
 class DummyTransformer(nn.Module):
     in_channels: int = 4
     dim: int = 64
@@ -91,15 +73,30 @@ class DummyTransformer(nn.Module):
     lora_alpha: float = 1.0
     dtype: Any = jnp.float32
     # scan-over-layers: ONE compiled block body + stacked params instead of
-    # num_layers HLO copies (compile time ~O(1) in depth); remat trades FLOPs
-    # for activation memory like the reference's gradient checkpointing.
-    use_scan: bool = False
+    # num_layers HLO copies (compile time ~O(1) in depth, None = auto for deep
+    # stacks); gradient_checkpointing: None|"full"|"ops"|"block_skip" per-block
+    # remat, like the reference's checkpoint_wrapper policies. `remat=True` is a
+    # back-compat alias for gradient_checkpointing="full".
+    use_scan: Optional[bool] = None
     remat: bool = False
+    gradient_checkpointing: Optional[str] = None
+
+    def _checkpoint(self) -> Optional[str]:
+        return self.gradient_checkpointing or ("full" if self.remat else None)
+
+    def scan_stacks(self):
+        from ..layers import resolve_use_scan, scan_group_size
+
+        if not resolve_use_scan(self.use_scan, self.num_layers):
+            return []
+        return [("blocks", self.num_layers, scan_group_size(self._checkpoint()))]
 
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states, timestep, encoder_kv_lens=None):
         """hidden_states: (B, C, F, H, W); encoder_hidden_states: (B, L, caption_dim);
         timestep: (B,) in [0, 1000)."""
+        from ..layers import block_stack
+
         b, c, f, h, w = hidden_states.shape
         pf, ph, pw = self.patch_size
         # Patchify: (B,C,F,H,W) -> (B, F/pf * H/ph * W/pw, C*pf*ph*pw)
@@ -112,27 +109,17 @@ class DummyTransformer(nn.Module):
             encoder_hidden_states.astype(self.dtype)
         )
 
-        if self.use_scan:
-            block_cls = _ScanBlock
-            if self.remat:
-                block_cls = nn.remat(block_cls, static_argnums=())
-            ScanBlock = nn.scan(
-                block_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True},
-                length=self.num_layers,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            )
-            x, _ = ScanBlock(
-                self.dim, self.num_heads, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                dtype=self.dtype, name="blocks",
-            )(x, context, temb, encoder_kv_lens)
-        else:
-            for i in range(self.num_layers):
-                x = DummyTransformerBlock(
-                    self.dim, self.num_heads, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                    dtype=self.dtype, name=f"blocks_{i}",
-                )(x, context, temb, kv_lens=encoder_kv_lens)
+        x = block_stack(
+            DummyTransformerBlock,
+            dict(dim=self.dim, num_heads=self.num_heads, lora_rank=self.lora_rank,
+                 lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            x,
+            broadcast_args=(context, temb, encoder_kv_lens),
+            use_scan=self.use_scan,
+            checkpoint=self._checkpoint(),
+            list_name="blocks",
+        )
 
         x = LayerNorm(dtype=self.dtype, name="norm_out")(x)
         x = LoRADense(c * pf * ph * pw, dtype=self.dtype, name="proj_out")(x)

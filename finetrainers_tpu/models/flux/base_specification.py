@@ -39,6 +39,14 @@ FLUX_TRANSFORMER_CONFIG = dict(
 
 
 class FluxModelSpecification(ModelSpecification):
+    transformer_class_name = "FluxTransformer2DModel"
+
+    @staticmethod
+    def transformer_key_map(flax_key: str) -> str:
+        from .weights import flux_key_map
+
+        return flux_key_map(flax_key)
+
     def __init__(
         self,
         pretrained_model_name_or_path: str = "black-forest-labs/FLUX.1-dev",
@@ -85,7 +93,7 @@ class FluxModelSpecification(ModelSpecification):
     def load_diffusion_models(self) -> Dict[str, Any]:
         module = FluxTransformer2DModel(
             **self.transformer_config, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.transformer_dtype,
+            dtype=self.transformer_dtype, **self._transformer_runtime_kwargs(),
         )
         cfg = self.transformer_config
         params = module.init(
@@ -99,7 +107,7 @@ class FluxModelSpecification(ModelSpecification):
         )["params"]
         from .weights import load_flux_transformer_params
 
-        params = self._maybe_load_pretrained_transformer(params, load_flux_transformer_params)
+        params = self._maybe_load_pretrained_transformer(params, load_flux_transformer_params, module=module)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(use_dynamic_shifting=True),

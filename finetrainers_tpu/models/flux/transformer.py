@@ -21,7 +21,15 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention_dispatch
-from ..layers import LayerNorm, LoRADense, RMSNorm, sinusoidal_timestep_embedding
+from ..layers import (
+    LayerNorm,
+    LoRADense,
+    RMSNorm,
+    block_stack,
+    resolve_use_scan,
+    scan_group_size,
+    sinusoidal_timestep_embedding,
+)
 
 
 def flux_rope_freqs(ids: jax.Array, axes_dims: Sequence[int], theta: float = 10000.0):
@@ -171,6 +179,17 @@ class FluxTransformer2DModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    use_scan: Optional[bool] = None
+    gradient_checkpointing: Optional[str] = None
+
+    def scan_stacks(self):
+        group = scan_group_size(self.gradient_checkpointing)
+        stacks = []
+        if resolve_use_scan(self.use_scan, self.num_layers):
+            stacks.append(("transformer_blocks", self.num_layers, group))
+        if resolve_use_scan(self.use_scan, self.num_single_layers):
+            stacks.append(("single_transformer_blocks", self.num_single_layers, group))
+        return stacks
 
     @nn.compact
     def __call__(
@@ -208,20 +227,30 @@ class FluxTransformer2DModel(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         freqs = flux_rope_freqs(ids.astype(jnp.float32), self.axes_dims_rope)
 
-        for i in range(self.num_layers):
-            img, txt = FluxDualBlock(
-                inner, self.num_attention_heads, self.attention_head_dim,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
-            )(img, txt, temb, freqs)
+        img, txt = block_stack(
+            FluxDualBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            (img, txt),
+            broadcast_args=(temb, freqs),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="transformer_blocks",
+        )
 
         x = jnp.concatenate([txt, img], axis=1)
-        for i in range(self.num_single_layers):
-            x = FluxSingleBlock(
-                inner, self.num_attention_heads, self.attention_head_dim,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"single_transformer_blocks_{i}",
-            )(x, temb, freqs)
+        x = block_stack(
+            FluxSingleBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_single_layers,
+            x,
+            broadcast_args=(temb, freqs),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="single_transformer_blocks",
+        )
         img = x[:, txt.shape[1] :]
 
         mod = LoRADense(2 * inner, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))

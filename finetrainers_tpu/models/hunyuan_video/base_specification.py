@@ -33,6 +33,14 @@ HUNYUAN_VIDEO_CONFIG = dict(
 
 
 class HunyuanVideoModelSpecification(ModelSpecification):
+    transformer_class_name = "HunyuanVideoTransformer3DModel"
+
+    @staticmethod
+    def transformer_key_map(flax_key: str) -> str:
+        from .weights import hunyuan_key_map
+
+        return hunyuan_key_map(flax_key)
+
     def __init__(
         self,
         pretrained_model_name_or_path: str = "hunyuanvideo-community/HunyuanVideo",
@@ -79,7 +87,7 @@ class HunyuanVideoModelSpecification(ModelSpecification):
     def load_diffusion_models(self) -> Dict[str, Any]:
         module = HunyuanVideoTransformer3DModel(
             **self.transformer_config, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.transformer_dtype,
+            dtype=self.transformer_dtype, **self._transformer_runtime_kwargs(),
         )
         cfg = self.transformer_config
         params = module.init(
@@ -91,7 +99,7 @@ class HunyuanVideoModelSpecification(ModelSpecification):
         )["params"]
         from .weights import load_hunyuan_transformer_params
 
-        params = self._maybe_load_pretrained_transformer(params, load_hunyuan_transformer_params)
+        params = self._maybe_load_pretrained_transformer(params, load_hunyuan_transformer_params, module=module)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(shift=7.0),

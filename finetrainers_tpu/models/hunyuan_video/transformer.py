@@ -18,7 +18,14 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention_dispatch
-from ..layers import LayerNorm, LoRADense, sinusoidal_timestep_embedding
+from ..layers import (
+    LayerNorm,
+    LoRADense,
+    block_stack,
+    resolve_use_scan,
+    scan_group_size,
+    sinusoidal_timestep_embedding,
+)
 from ..flux.transformer import FluxDualBlock, FluxSingleBlock, flux_rope_freqs
 
 
@@ -76,6 +83,17 @@ class HunyuanVideoTransformer3DModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    use_scan: Optional[bool] = None
+    gradient_checkpointing: Optional[str] = None
+
+    def scan_stacks(self):
+        group = scan_group_size(self.gradient_checkpointing)
+        stacks = []
+        if resolve_use_scan(self.use_scan, self.num_layers):
+            stacks.append(("transformer_blocks", self.num_layers, group))
+        if resolve_use_scan(self.use_scan, self.num_single_layers):
+            stacks.append(("single_transformer_blocks", self.num_single_layers, group))
+        return stacks
 
     @nn.compact
     def __call__(
@@ -145,19 +163,29 @@ class HunyuanVideoTransformer3DModel(nn.Module):
         txt_ids = jnp.zeros((txt.shape[1], 3))
         freqs = flux_rope_freqs(jnp.concatenate([txt_ids, img_ids], axis=0), self.rope_axes_dim)
 
-        for i in range(self.num_layers):
-            x, txt = FluxDualBlock(
-                inner, self.num_attention_heads, self.attention_head_dim,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
-            )(x, txt, temb, freqs)
+        x, txt = block_stack(
+            FluxDualBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            (x, txt),
+            broadcast_args=(temb, freqs),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="transformer_blocks",
+        )
         full = jnp.concatenate([txt, x], axis=1)
-        for i in range(self.num_single_layers):
-            full = FluxSingleBlock(
-                inner, self.num_attention_heads, self.attention_head_dim,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"single_transformer_blocks_{i}",
-            )(full, temb, freqs)
+        full = block_stack(
+            FluxSingleBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_single_layers,
+            full,
+            broadcast_args=(temb, freqs),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="single_transformer_blocks",
+        )
         x = full[:, txt.shape[1]:]
 
         mod = LoRADense(2 * inner, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))

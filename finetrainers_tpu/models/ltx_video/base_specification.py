@@ -36,6 +36,14 @@ LTX_TRANSFORMER_CONFIG = dict(
 
 
 class LTXVideoModelSpecification(ModelSpecification):
+    transformer_class_name = "LTXVideoTransformer3DModel"
+
+    @staticmethod
+    def transformer_key_map(flax_key: str) -> str:
+        from .weights import ltx_key_map
+
+        return ltx_key_map(flax_key)
+
     first_frame_conditioning_p = 0.1
     min_first_frame_sigma = 0.25
     frame_rate = 25
@@ -100,7 +108,7 @@ class LTXVideoModelSpecification(ModelSpecification):
     def load_diffusion_models(self) -> Dict[str, Any]:
         module = LTXVideoTransformer3DModel(
             **self.transformer_config, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.transformer_dtype,
+            dtype=self.transformer_dtype, **self._transformer_runtime_kwargs(),
         )
         cfg = self.transformer_config
         tokens_dim = cfg["in_channels"] * cfg["patch_size"] ** 2 * cfg["patch_size_t"]
@@ -113,7 +121,7 @@ class LTXVideoModelSpecification(ModelSpecification):
         )["params"]
         from .weights import load_ltx_transformer_params
 
-        params = self._maybe_load_pretrained_transformer(params, load_ltx_transformer_params)
+        params = self._maybe_load_pretrained_transformer(params, load_ltx_transformer_params, module=module)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(),

@@ -20,7 +20,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..layers import LoRADense, RMSNorm, sinusoidal_timestep_embedding
+from ..layers import (
+    LoRADense,
+    RMSNorm,
+    block_stack,
+    resolve_use_scan,
+    scan_group_size,
+    sinusoidal_timestep_embedding,
+)
 from ...ops import attention_dispatch
 
 
@@ -201,6 +208,15 @@ class LTXVideoTransformer3DModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    # scan-over-layers (None = auto for deep stacks) + per-block remat policy
+    # (None | "full" | "ops" | "block_skip") — see models/layers.block_stack.
+    use_scan: Optional[bool] = None
+    gradient_checkpointing: Optional[str] = None
+
+    def scan_stacks(self):
+        if not resolve_use_scan(self.use_scan, self.num_layers):
+            return []
+        return [("transformer_blocks", self.num_layers, scan_group_size(self.gradient_checkpointing))]
 
     @nn.compact
     def __call__(
@@ -239,11 +255,17 @@ class LTXVideoTransformer3DModel(nn.Module):
             name="rope",
         )(num_frames, height, width, rope_interpolation_scale)
 
-        for i in range(self.num_layers):
-            x = LTXTransformerBlock(
-                inner, self.num_attention_heads, self.attention_head_dim,
-                self.lora_rank, self.lora_alpha, dtype=self.dtype, name=f"transformer_blocks_{i}",
-            )(x, context, temb, freqs, encoder_kv_lens=kv_lens)
+        x = block_stack(
+            LTXTransformerBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            x,
+            broadcast_args=(context, temb, freqs, kv_lens),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="transformer_blocks",
+        )
 
         table = self.param("scale_shift_table", nn.initializers.normal(inner**-0.5), (2, inner), jnp.float32)
         emb_t = embedded_timestep.reshape(embedded_timestep.shape[0], -1, 1, inner).astype(jnp.float32)

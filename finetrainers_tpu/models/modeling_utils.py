@@ -88,6 +88,18 @@ class ModelSpecification:
         self.cache_dir = cache_dir
         self.transformer_config: Dict[str, Any] = {}
         self.vae_config: Dict[str, Any] = {}
+        # Runtime compile/memory knobs the trainer sets before load_diffusion_models:
+        # use_scan: None = auto (scan-over-layers for deep stacks); gradient_checkpointing:
+        # None | "full" | "ops" | "block_skip" (per-block remat inside the stack).
+        self.use_scan: Optional[bool] = None
+        self.gradient_checkpointing: Optional[str] = None
+
+    # Per-family overrides for diffusers-format export/import.
+    transformer_key_map = None  # Callable[[str], str] flax key -> torch key
+    transformer_class_name: Optional[str] = None  # diffusers _class_name for config.json
+
+    def _transformer_runtime_kwargs(self) -> Dict[str, Any]:
+        return {"use_scan": self.use_scan, "gradient_checkpointing": self.gradient_checkpointing}
 
     # ------------------------------------------------------------------ loading
     def load_condition_models(self) -> Dict[str, Any]:
@@ -141,30 +153,49 @@ class ModelSpecification:
 
     # ------------------------------------------------------------------ export
     def _save_lora_weights(self, directory: str, lora_params, lora_config: Dict[str, Any],
-                           scheduler=None) -> None:
+                           scheduler=None, module=None) -> None:
+        """Export inference-ready LoRA in peft/diffusers key convention
+        (reference trainer/sft_trainer/trainer.py:284-298). Stacked (scanned)
+        params are unstacked to per-block layout first."""
         from ..lora import save_lora_weights
+        from .weight_utils import maybe_unstack_params
 
-        save_lora_weights(directory, lora_params, lora_config)
+        if module is not None:
+            lora_params = maybe_unstack_params(lora_params, module)
+        save_lora_weights(directory, lora_params, lora_config, key_map=self.transformer_key_map)
 
     def _save_model(self, directory: str, transformer: ModelHandle, scheduler=None) -> None:
+        """Export the transformer in diffusers format: config.json +
+        diffusion_pytorch_model.safetensors with torch-convention keys
+        (reference trainer/sft_trainer/trainer.py:300-306)."""
+        import json
         import os
 
         from ..utils.serialization import safetensors_save_dict
+        from .weight_utils import flax_params_to_torch_state_dict, maybe_unstack_params
 
         os.makedirs(directory, exist_ok=True)
-        flat = flatten_params(transformer.params)
+        params = maybe_unstack_params(transformer.params, transformer.module)
+        state = flax_params_to_torch_state_dict(params, key_map=self.transformer_key_map)
         safetensors_save_dict(
-            {k: np.asarray(v) for k, v in flat.items()},
-            os.path.join(directory, "model.safetensors"),
+            {k: np.ascontiguousarray(v) for k, v in state.items()},
+            os.path.join(directory, "diffusion_pytorch_model.safetensors"),
         )
+        config = {k: _jsonable_config(v) for k, v in (transformer.config or {}).items()}
+        if self.transformer_class_name:
+            config["_class_name"] = self.transformer_class_name
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(config, f, indent=2)
 
-    def _maybe_load_pretrained_transformer(self, params, converter, subfolder: str = "transformer"):
+    def _maybe_load_pretrained_transformer(self, params, converter, subfolder: str = "transformer",
+                                           module=None):
         """If the pretrained path is a local diffusers directory, convert its
         weights into `params` (LoRA leaves keep their fresh init); otherwise
-        return `params` unchanged (hub download requires network)."""
+        return `params` unchanged (hub download requires network). For scanned
+        modules the converter runs in per-block layout and is re-stacked."""
         import os
 
-        from .weight_utils import load_diffusers_checkpoint_dir
+        from .weight_utils import load_diffusers_checkpoint_dir, load_pretrained_into_params
 
         for candidate in (
             self.transformer_id,
@@ -176,7 +207,7 @@ class ModelSpecification:
             ):
                 state = load_diffusers_checkpoint_dir(candidate)
                 logger.info(f"Loading transformer weights from {candidate} ({len(state)} tensors)")
-                return converter(state, params)
+                return load_pretrained_into_params(state, params, converter, module=module)
         return params
 
     # ------------------------------------------------------------- parallelism
@@ -228,6 +259,20 @@ class ControlModelSpecification(ModelSpecification):
 
 
 # ------------------------------------------------------------------- helpers
+
+
+def _jsonable_config(v):
+    if isinstance(v, (list, tuple)):
+        return [_jsonable_config(x) for x in v]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (str, int, float, bool)) or v is None:
+        return v
+    return str(v)
 
 
 def _default_collate(data: List[Dict[str, Any]]) -> Dict[str, Any]:

@@ -40,6 +40,14 @@ WAN_I2V_14B_CONFIG = dict(
 
 
 class WanModelSpecification(ModelSpecification):
+    transformer_class_name = "WanTransformer3DModel"
+
+    @staticmethod
+    def transformer_key_map(flax_key: str) -> str:
+        from .weights import wan_key_map
+
+        return wan_key_map(flax_key)
+
     def __init__(
         self,
         pretrained_model_name_or_path: str = "Wan-AI/Wan2.1-T2V-1.3B-Diffusers",
@@ -101,7 +109,7 @@ class WanModelSpecification(ModelSpecification):
     def load_diffusion_models(self) -> Dict[str, Any]:
         module = WanTransformer3DModel(
             **self.transformer_config, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            dtype=self.transformer_dtype,
+            dtype=self.transformer_dtype, **self._transformer_runtime_kwargs(),
         )
         cfg = self.transformer_config
         kwargs = {}
@@ -116,7 +124,7 @@ class WanModelSpecification(ModelSpecification):
         )["params"]
         from .weights import load_wan_transformer_params
 
-        params = self._maybe_load_pretrained_transformer(params, load_wan_transformer_params)
+        params = self._maybe_load_pretrained_transformer(params, load_wan_transformer_params, module=module)
         return {
             "transformer": ModelHandle(module, params, dict(self.transformer_config)),
             "scheduler": FlowMatchEulerScheduler(shift=3.0),

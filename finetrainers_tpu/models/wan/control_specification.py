@@ -57,6 +57,7 @@ class WanControlModelSpecification(ControlModelSpecification, WanModelSpecificat
             self.transformer_config = cfg
         module = WanTransformer3DModel(
             **cfg, lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.transformer_dtype,
+            **self._transformer_runtime_kwargs(),
         )
         params = module.init(
             jax.random.PRNGKey(0),

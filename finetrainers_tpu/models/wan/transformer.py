@@ -19,7 +19,15 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import attention_dispatch
-from ..layers import LayerNorm, LoRADense, RMSNorm, sinusoidal_timestep_embedding
+from ..layers import (
+    LayerNorm,
+    LoRADense,
+    RMSNorm,
+    block_stack,
+    resolve_use_scan,
+    scan_group_size,
+    sinusoidal_timestep_embedding,
+)
 
 
 def wan_rope_freqs(head_dim: int, num_frames: int, height: int, width: int,
@@ -139,6 +147,13 @@ class WanTransformer3DModel(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     dtype: Any = jnp.bfloat16
+    use_scan: Optional[bool] = None
+    gradient_checkpointing: Optional[str] = None
+
+    def scan_stacks(self):
+        if not resolve_use_scan(self.use_scan, self.num_layers):
+            return []
+        return [("blocks", self.num_layers, scan_group_size(self.gradient_checkpointing))]
 
     @nn.compact
     def __call__(
@@ -191,13 +206,18 @@ class WanTransformer3DModel(nn.Module):
 
         freqs = wan_rope_freqs(self.attention_head_dim, pf_, phh, pww)
 
-        for i in range(self.num_layers):
-            x = WanTransformerBlock(
-                inner, self.num_attention_heads, self.attention_head_dim, self.ffn_dim,
-                has_image_kv=self.image_dim is not None,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x, context, temb_proj, freqs, encoder_kv_lens=kv_lens, image_context=image_context)
+        x = block_stack(
+            WanTransformerBlock,
+            dict(dim=inner, num_heads=self.num_attention_heads, head_dim=self.attention_head_dim,
+                 ffn_dim=self.ffn_dim, has_image_kv=self.image_dim is not None,
+                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, dtype=self.dtype),
+            self.num_layers,
+            x,
+            broadcast_args=(context, temb_proj, freqs, kv_lens, image_context),
+            use_scan=self.use_scan,
+            checkpoint=self.gradient_checkpointing,
+            list_name="blocks",
+        )
 
         table = self.param("scale_shift_table", nn.initializers.normal(inner**-0.5), (1, 2, inner), jnp.float32)
         mod = table + temb[:, None].astype(jnp.float32)  # (B, 2, inner)

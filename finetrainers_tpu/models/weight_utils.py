@@ -108,21 +108,51 @@ def flax_params_to_torch_state_dict(
     return out
 
 
+def _peft_key_for(flax_lora_key: str, key_map: Optional[Callable[[str], str]] = None) -> str:
+    """flax '<module path>.lora_a' -> peft '<torch module path>.lora_A.weight',
+    routing the module path through the per-model key_map (so e.g. LTX's
+    'ff_net_0_proj' becomes 'ff.net.0.proj' exactly as diffusers expects)."""
+    key_map = key_map or flax_key_to_torch
+    base, leaf = flax_lora_key.rsplit(".", 1)
+    torch_base = key_map(f"{base}.kernel")
+    assert torch_base.endswith(".weight")
+    torch_base = torch_base[: -len(".weight")]
+    suffix = "lora_A.weight" if leaf == "lora_a" else "lora_B.weight"
+    return f"{torch_base}.{suffix}"
+
+
 def lora_flax_to_peft(
-    lora_state: Dict[str, np.ndarray], prefix: str = "transformer"
+    lora_state: Dict[str, np.ndarray],
+    prefix: str = "transformer",
+    key_map: Optional[Callable[[str], str]] = None,
 ) -> Dict[str, np.ndarray]:
     """Our flat LoRA state -> peft/diffusers-convention keys
-    (`transformer.transformer_blocks.0.attn1.to_q.lora_A.weight`)."""
+    (`transformer.transformer_blocks.0.attn1.to_q.lora_A.weight`), transposed to
+    torch layout (reference export: trainer/sft_trainer/trainer.py:284-298)."""
     out = {}
     for key, value in lora_state.items():
-        torch_key = re.sub(r"_(\d+)\.", r".\1.", key)
-        torch_key = torch_key.replace(".lora_a", ".lora_A.weight").replace(".lora_b", ".lora_B.weight")
-        out[f"{prefix}.{torch_key}"] = np.asarray(value).T
+        out[f"{prefix}.{_peft_key_for(key, key_map)}"] = np.ascontiguousarray(np.asarray(value).T)
     return out
 
 
-def lora_peft_to_flax(state_dict: Dict[str, np.ndarray], prefix: str = "transformer") -> Dict[str, np.ndarray]:
+def lora_peft_to_flax(
+    state_dict: Dict[str, np.ndarray],
+    prefix: str = "transformer",
+    key_map: Optional[Callable[[str], str]] = None,
+    abstract_lora_keys: Optional[list] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of `lora_flax_to_peft`. Because key_maps are one-way string
+    rewrites, the mapping is built forward: when `abstract_lora_keys` (the flax
+    LoRA key list of the target tree) is given, each is mapped peft-ward and
+    matched; otherwise a generic reverse rewrite is used."""
     out = {}
+    if abstract_lora_keys:
+        reverse = {f"{prefix}.{_peft_key_for(k, key_map)}": k for k in abstract_lora_keys}
+        for key, value in state_dict.items():
+            flax_key = reverse.get(key)
+            if flax_key is not None:
+                out[flax_key] = np.asarray(value).T
+        return out
     for key, value in state_dict.items():
         k = key
         if k.startswith(prefix + "."):
@@ -132,6 +162,139 @@ def lora_peft_to_flax(state_dict: Dict[str, np.ndarray], prefix: str = "transfor
         k = re.sub(r"\.(\d+)\.", lambda m: f"_{m.group(1)}.", k)
         out[k] = np.asarray(value).T
     return out
+
+
+# ----------------------------------------------------------- scan (stacked) layout
+
+_SCAN_SUFFIX = "_scan"
+
+
+def scan_stacks_of(module) -> list:
+    """[(list_name, length, group)] for a transformer module with scan resolved
+    on; [] otherwise. Modules advertise stacks via a `scan_stacks()` method."""
+    fn = getattr(module, "scan_stacks", None)
+    return list(fn()) if fn is not None else []
+
+
+def stack_params_for_scan(params: Dict[str, Any], scan_stacks) -> Dict[str, Any]:
+    """Per-block subtrees '<list>_<i>.*' -> '<list>_scan.block[_j].*' with a
+    leading layer axis (the layout nn.scan produces). Trailing remainder blocks
+    (length % group != 0) keep their per-block keys."""
+    flat = flatten_params(params)
+    out: Dict[str, Any] = {}
+    buckets: Dict[str, list] = {}
+    specs = {name: (length, group) for name, length, group in scan_stacks}
+    patterns = {
+        name: re.compile(rf"^{re.escape(name)}_(\d+)\.(.+)$") for name in specs
+    }
+    for key, value in flat.items():
+        if value is None:  # split-tree placeholder: drop
+            continue
+        placed = False
+        for name, (length, group) in specs.items():
+            m = patterns[name].match(key)
+            if m:
+                i, rest = int(m.group(1)), m.group(2)
+                n_scan = length // group
+                if i < n_scan * group:
+                    it, j = divmod(i, group)
+                    blk = "block" if group == 1 else f"block_{j}"
+                    stacked_key = f"{name}{_SCAN_SUFFIX}.{blk}.{rest}"
+                    buckets.setdefault(stacked_key, [None] * n_scan)[it] = value
+                    placed = True
+                break
+        if not placed:
+            out[key] = value
+    for stacked_key, arrs in buckets.items():
+        assert all(a is not None for a in arrs), f"missing layers for {stacked_key}"
+        out[stacked_key] = np.stack([np.asarray(a) for a in arrs], axis=0)
+    return unflatten_params(out)
+
+
+def unstack_params_from_scan(params: Dict[str, Any], scan_stacks) -> Dict[str, Any]:
+    """Inverse of `stack_params_for_scan` (for per-block exports / converters)."""
+    flat = flatten_params(params)
+    out: Dict[str, Any] = {}
+    specs = {name: (length, group) for name, length, group in scan_stacks}
+    patterns = {
+        name: re.compile(rf"^{re.escape(name)}{_SCAN_SUFFIX}\.block(?:_(\d+))?\.(.+)$")
+        for name in specs
+    }
+    for key, value in flat.items():
+        if value is None:  # split-tree placeholder (frozen/trainable slot): drop
+            continue
+        placed = False
+        for name, (length, group) in specs.items():
+            m = patterns[name].match(key)
+            if m:
+                j = int(m.group(1) or 0)
+                rest = m.group(2)
+                if not hasattr(value, "__getitem__"):
+                    value = np.asarray(value)
+                for it in range(value.shape[0]):
+                    out[f"{name}_{it * group + j}.{rest}"] = value[it]
+                placed = True
+                break
+        if not placed:
+            out[key] = value
+    return unflatten_params(out)
+
+
+def maybe_unstack_params(params: Dict[str, Any], module) -> Dict[str, Any]:
+    stacks = scan_stacks_of(module)
+    return unstack_params_from_scan(params, stacks) if stacks else params
+
+
+def load_pretrained_into_params(
+    state_dict: Dict[str, np.ndarray],
+    params: Dict[str, Any],
+    converter: Callable[[Dict[str, np.ndarray], Dict[str, Any]], Dict[str, Any]],
+    module=None,
+) -> Dict[str, Any]:
+    """Convert a torch state dict into a (possibly scan-stacked) param tree.
+
+    Converters speak the per-block layout; for scanned modules the target is
+    unstacked to ShapeDtypeStructs first, converted, then re-stacked. LoRA
+    leaves always keep the values already in `params` (fresh adapter init —
+    checkpoints don't carry LoRA factors)."""
+    import jax
+
+    stacks = scan_stacks_of(module) if module is not None else []
+    if not stacks:
+        return converter(state_dict, params)
+    # Build the per-block abstract target from the stacked concrete tree
+    # (shape/dtype carriers that survive the unstack slicing).
+    flat_abs = flatten_params(params)
+    per_block = unstack_params_from_scan(
+        unflatten_params({k: _AbsSlice(v) for k, v in flat_abs.items()}), stacks
+    )
+    converted = converter(state_dict, per_block)
+    stacked = stack_params_for_scan(converted, stacks)
+    flat_new = flatten_params(stacked)
+    flat_old = flatten_params(params)
+    merged = {}
+    for key, old in flat_old.items():
+        if ".lora_a" in key or ".lora_b" in key:
+            merged[key] = old
+        else:
+            merged[key] = np.asarray(flat_new[key]).astype(_np_dtype(old))
+    return unflatten_params(merged)
+
+
+class _AbsSlice:
+    """Shape/dtype carrier that supports leading-axis slicing + np.stack round
+    trips, so unstack/stack work on abstract trees."""
+
+    def __init__(self, ref):
+        self.shape = tuple(ref.shape)
+        self.dtype = ref.dtype
+
+    def __getitem__(self, idx):
+        assert isinstance(idx, int)
+        out = object.__new__(_AbsSlice)
+        out.shape = self.shape[1:]
+        out.dtype = self.dtype
+        return out
 
 
 def load_diffusers_checkpoint_dir(path: str) -> Dict[str, np.ndarray]:

@@ -17,6 +17,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from .mesh import AXIS_DP_SHARD, AXIS_TP
 
 
+# Matches params under a scan-over-layers stack ("<list>_scan.block[_j].<param>",
+# see models/layers.block_stack) whose dim 0 is the stacked layer axis.
+SCAN_STACK_RE = re.compile(r"_scan\.block(_\d+)?\.")
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
@@ -75,12 +80,20 @@ def make_param_shardings(
         shape = getattr(leaf, "shape", ())
         spec = [None] * len(shape)
         taken = []
+        # scan-stacked params carry a leading layer axis: never shard it (a
+        # sharded layer axis would force a collective per scan iteration), and
+        # shift TP specs (written for the unstacked shape) right by one dim.
+        stacked = SCAN_STACK_RE.search(path_s) is not None
+        offset = 1 if stacked else 0
+        if stacked:
+            taken.append(0)
         for pattern, tp_spec in tp_rules:
             if re.search(pattern, path_s):
                 for i, axis in enumerate(tuple(tp_spec)):
-                    if axis is not None and i < len(shape) and shape[i] % mesh.shape.get(AXIS_TP, 1) == 0:
-                        spec[i] = axis
-                        taken.append(i)
+                    j = i + offset
+                    if axis is not None and j < len(shape) and shape[j] % mesh.shape.get(AXIS_TP, 1) == 0:
+                        spec[j] = axis
+                        taken.append(j)
                 break
         fsdp_dim = infer_fsdp_spec(shape, fsdp_size, taken_dims=taken, min_weight_size=min_weight_size)
         if fsdp_dim is not None:

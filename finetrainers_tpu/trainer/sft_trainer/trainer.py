@@ -85,6 +85,16 @@ class SFTTrainer(Trainer):
         if self.args.training_type in ("lora",):
             spec.lora_rank = getattr(self.args, "rank", 64)
             spec.lora_alpha = getattr(self.args, "lora_alpha", 64)
+        # Per-block remat policy + scan-over-layers (regional compile). The
+        # reference applies checkpoint_wrapper per block + torch.compile
+        # regionally (utils/activation_checkpoint.py:20-71, utils/torch.py:44-65);
+        # here both are flags on the transformer module (models/layers.block_stack).
+        if self.args.gradient_checkpointing:
+            spec.gradient_checkpointing = getattr(self.args, "gradient_checkpointing_type", "full")
+        if "transformer" in (self.args.compile_modules or []):
+            scopes = self.args.compile_scopes or ["regional"]
+            scope = scopes[min((self.args.compile_modules or []).index("transformer"), len(scopes) - 1)]
+            spec.use_scan = scope == "regional"
         diffusion = spec.load_diffusion_models()
         self.transformer = diffusion["transformer"]
         self.scheduler = diffusion["scheduler"]
@@ -197,11 +207,18 @@ class SFTTrainer(Trainer):
                 handle = ModelHandle(module, params, config)
                 return spec.forward(handle, conditions, latent_conditions, sigmas, rng_fwd)
 
-            if gradient_checkpointing:
+            # Per-block remat happens inside the module (block_stack) when it
+            # advertises the knob; the whole-forward wrap remains only as a
+            # fallback for custom modules without per-block support.
+            module_handles_remat = getattr(module, "gradient_checkpointing", None) is not None or (
+                hasattr(module, "scan_stacks") and getattr(module, "_checkpoint", lambda: None)() is not None
+            )
+            if gradient_checkpointing and not module_handles_remat:
                 from ...utils.activation_checkpoint import apply_activation_checkpointing
 
-                # "full" matches the reference (trainer.py:157 hardcodes it).
-                forward = apply_activation_checkpointing(forward, checkpoint_type="full")
+                forward = apply_activation_checkpointing(
+                    forward, checkpoint_type=getattr(args, "gradient_checkpointing_type", "full")
+                )
 
             def loss_fn(trainable):
                 params = merge_params(trainable, frozen)
@@ -297,7 +314,9 @@ class SFTTrainer(Trainer):
                     "lora_alpha": getattr(args, "lora_alpha", 64),
                     "target_modules": getattr(args, "target_modules", ""),
                 }
-                self.model_specification._save_lora_weights(lora_dir, state["trainable"], lora_config)
+                self.model_specification._save_lora_weights(
+                    lora_dir, state["trainable"], lora_config, module=self.transformer.module
+                )
             else:
                 model_dir = os.path.join(args.output_dir, "model_weights", f"{step:06d}")
                 params = merge_params(state["trainable"], self._frozen)

@@ -93,7 +93,10 @@ class TestSFTTrainer:
 
         state, config = load_lora_weights(str(tmp_path / "lora_weights" / "000006"))
         assert config["r"] == 4
-        assert all(("lora_a" in k or "lora_b" in k) for k in state)
+        # diffusers/peft key convention (reference export format,
+        # trainer/sft_trainer/trainer.py:284-298)
+        assert all(k.startswith("transformer.") for k in state)
+        assert all((".lora_A.weight" in k or ".lora_B.weight" in k) for k in state)
         assert len(state) > 0
 
     def test_full_finetune_hsdp(self, tmp_path, tiny_dataset):
