@@ -1,26 +1,72 @@
-"""Benchmark: LoRA training-step throughput on the flagship (LTX-Video-class) config.
+"""Benchmark: LoRA training-step throughput on the flagship LTX-Video model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+ extra keys:
+model TFLOP/s and MFU vs v5e peak).
 
-Conditions mirror BASELINE.md's north-star: 49f x 512 x 768 video -> LTX-class
-latents (128ch, 7x16x24 = 2688 tokens), LoRA rank 128, bf16 compute, gradient
-checkpointing, full train step (fwd + bwd + AdamW update on LoRA params).
+Conditions mirror BASELINE.md's north-star: 49f x 512 x 768 video -> LTX latents
+(128ch, 7x16x24 = 2688 tokens), LoRA rank 128, bf16 compute, gradient
+checkpointing (per-block remat via scan), full train step through the REAL
+`models/ltx_video` spec forward: VAE-moment posterior sampling, latent stats
+normalization, stochastic first-frame conditioning, per-token timesteps, packed
+tokens, flow-match loss, AdamW update on LoRA params.
 
-vs_baseline divides our steps/sec by an assumed H100 reference of 0.35 s/step for
-the same workload (the reference repo publishes no throughput numbers —
+vs_baseline divides our steps/sec by an assumed H100 reference of 0.35 s/step
+for the same workload (the reference repo publishes no throughput numbers —
 BASELINE.md documents only memory floors). NOTE: the benchmark chip in this
-environment sustains a small fraction of v5e peak (see
-.claude/skills/verify/SKILL.md), so treat vs_baseline as environment-bound.
+environment sustains a fraction of v5e peak (see .claude/skills/verify/SKILL.md),
+so treat vs_baseline as environment-bound.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
 H100_BASELINE_STEP_SECONDS = 0.35
-TIMED_STEPS = 3
+TIMED_STEPS = 10
+V5E_PEAK_FLOPS = 197e12  # bf16 per chip
+
+# Flagship latent shape: 49f x 512 x 768 through the LTX VAE (32x spatial, 8x
+# temporal): (B, 128, 7, 16, 24) -> 2688 packed tokens. Moments carry 2*C.
+B, C, F, H, W = 1, 128, 7, 16, 24
+S = F * H * W
+L_CTX = 128
+LORA_RANK = 128
+
+
+def ltx_train_step_flops(cfg: dict, lora_rank: int, remat_factor: float) -> float:
+    """Analytic matmul FLOPs for one LoRA train step on the LTX transformer.
+
+    fwd counted exactly (matmul terms only; elementwise/norms excluded); bwd for
+    LoRA training needs dL/dx through every base matmul (~1x fwd) plus LoRA
+    factor grads (counted); remat recomputes `remat_factor` of the fwd."""
+    d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+    nl = cfg["num_layers"]
+    cap = cfg["caption_channels"]
+    cin = cfg["in_channels"]
+
+    per_layer = 0.0
+    per_layer += 4 * 2 * S * d * d            # attn1 q,k,v,out projections
+    per_layer += 2 * 2 * S * S * d            # attn1 scores + weighted sum
+    per_layer += 2 * 2 * S * d * d            # attn2 q,out
+    per_layer += 2 * 2 * L_CTX * d * d        # attn2 k,v
+    per_layer += 2 * 2 * S * L_CTX * d        # attn2 scores + out
+    per_layer += 2 * 2 * S * d * 4 * d        # ff in + out
+    # LoRA branches: 6 adapted matmuls/layer, two skinny factors each
+    per_layer += 6 * 2 * S * (d * lora_rank + lora_rank * d)
+
+    fwd = nl * per_layer
+    # per-token timestep embedder: S tokens through 256->d, d->d, d->6d
+    fwd += B * S * 2 * (256 * d + d * d + d * 6 * d)
+    fwd += B * L_CTX * 2 * (cap * d + d * d)   # caption projection
+    fwd += B * S * 2 * (cin * d + d * cin)     # proj_in + proj_out
+
+    fwd *= B
+    # bwd: dL/dx through all matmuls ~= 1x fwd; base dL/dW skipped (frozen);
+    # LoRA dL/dW is tiny and folded into the 1x.
+    return fwd * (2.0 + remat_factor)
 
 
 def main() -> None:
@@ -29,75 +75,109 @@ def main() -> None:
     import numpy as np
     import optax
 
-    from finetrainers_tpu.functional.diffusion import flow_match_target, flow_match_xt
     from finetrainers_tpu.lora import lora_mask, merge_params, split_params
-    from finetrainers_tpu.models.dummy import DummyTransformer
+    from finetrainers_tpu.models.ltx_video import LTXVideoModelSpecification
+    from finetrainers_tpu.models.modeling_utils import ModelHandle
     from finetrainers_tpu.schedulers import FlowMatchEulerScheduler
 
-    module = DummyTransformer(
-        in_channels=128, dim=2048, num_heads=32, num_layers=28, caption_dim=4096,
-        patch_size=(1, 1, 1), lora_rank=128, lora_alpha=128, dtype=jnp.bfloat16,
-        use_scan=True, remat=True,  # grad checkpointing per bench conditions
-    )
-    latents = jnp.zeros((1, 128, 7, 16, 24), jnp.bfloat16)  # 49f x 512 x 768 thru VAE
-    context = jnp.zeros((1, 128, 4096), jnp.bfloat16)
+    checkpoint = os.environ.get("BENCH_REMAT", "ops")  # full | ops | block_skip | none
+    checkpoint = None if checkpoint == "none" else checkpoint
 
-    rng = jax.random.PRNGKey(0)
+    spec = LTXVideoModelSpecification(lora_rank=LORA_RANK, lora_alpha=LORA_RANK)
+    spec.use_scan = True
+    spec.gradient_checkpointing = checkpoint
+    cfg = spec.transformer_config
+
+    from finetrainers_tpu.models.ltx_video.transformer import LTXVideoTransformer3DModel
+
+    module = LTXVideoTransformer3DModel(
+        **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
+        use_scan=True, gradient_checkpointing=checkpoint,
+    )
+
     # eval_shape + device-side zeros: no flax-init compile, no host RNG, no 6GB
     # host->device transfer. TPU matmul timing is data-independent, so zeros
     # measure identical throughput. Frozen weights stored bf16 (training config).
+    tokens_dim = cfg["in_channels"]
     shapes = jax.eval_shape(
-        lambda r: module.init(r, latents, context, jnp.zeros((1,)))["params"], rng
+        lambda r: module.init(
+            r,
+            jnp.zeros((B, S, tokens_dim)),
+            jnp.zeros((B, L_CTX, cfg["caption_channels"])),
+            jnp.zeros((B, S)),
+            num_frames=F, height=H, width=W,
+        )["params"],
+        jax.random.PRNGKey(0),
     )
     params = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.ndim >= 2 else s.dtype), shapes
     )
     mask = lora_mask(params)
     trainable, frozen = split_params(params, mask)
+    # LoRA factors train in fp32 (reference keeps LoRA fp32 under FSDP).
+    trainable = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if x is not None else None,
+        trainable, is_leaf=lambda x: x is None,
+    )
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     opt_state = jax.jit(optimizer.init)(trainable)
     scheduler = FlowMatchEulerScheduler()
+    handle_cfg = dict(cfg)
 
-    def forward(p, noisy, sigmas):
-        return module.apply({"params": p}, noisy, context, sigmas * 1000.0)
+    conditions = {
+        "encoder_hidden_states": jnp.zeros((B, L_CTX, cfg["caption_channels"]), jnp.bfloat16),
+        "encoder_attention_mask": jnp.ones((B, L_CTX), jnp.int32),
+    }
+    latent_conditions = {
+        "latents": jnp.zeros((B, 2 * C, F, H, W), jnp.float32),  # VAE moments
+        "latents_mean": jnp.zeros((C,), jnp.float32),
+        "latents_std": jnp.ones((C,), jnp.float32),
+    }
 
-    def train_step(trainable, opt_state, rng):
-        sigmas = scheduler.training_sigmas(rng, latents.shape[0])
+    def train_step(trainable, frozen, opt_state, rng):
+        sigmas = scheduler.training_sigmas(rng, B)
 
         def loss_fn(trainable):
             p = merge_params(trainable, frozen)
-            noise = jax.random.normal(jax.random.fold_in(rng, 1), latents.shape, jnp.float32)
-            s = sigmas.reshape(sigmas.shape + (1,) * (latents.ndim - 1))
-            noisy = flow_match_xt(latents.astype(jnp.float32), noise, s).astype(jnp.bfloat16)
-            pred = forward(p, noisy, sigmas)
-            target = flow_match_target(noise, latents.astype(jnp.float32))
-            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+            handle = ModelHandle(module, p, handle_cfg)
+            pred, target, _ = spec.forward(
+                handle, conditions, latent_conditions, sigmas, jax.random.fold_in(rng, 1)
+            )
+            return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    step = jax.jit(train_step, donate_argnums=(0, 2))
 
-    # Warm up (compile), then time TIMED_STEPS sequential steps. Per-call dispatch
-    # overhead (~40ms on the tunnel) is negligible against full-model step time.
-    trainable, opt_state, loss = step(trainable, opt_state, rng)
+    rng = jax.random.PRNGKey(0)
+    # Warm up (compile), then time TIMED_STEPS sequential steps. Dispatch is
+    # async, so per-call tunnel latency (~40ms) overlaps device compute; only
+    # the final np.asarray forces completion.
+    trainable, opt_state, loss = step(trainable, frozen, opt_state, rng)
     _ = np.asarray(loss)
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):
-        trainable, opt_state, loss = step(trainable, opt_state, jax.random.fold_in(rng, i + 1))
+        trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, i + 1))
     _ = np.asarray(loss)
     elapsed = (time.perf_counter() - t0) / TIMED_STEPS
 
     steps_per_sec = 1.0 / elapsed
     vs_baseline = steps_per_sec * H100_BASELINE_STEP_SECONDS
+    remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.35, None: 0.0}[checkpoint]
+    flops = ltx_train_step_flops(cfg, LORA_RANK, remat_factor)
+    tflops = flops * steps_per_sec / 1e12
     print(json.dumps({
-        "metric": "train_step_throughput_ltx_class_lora_49x512x768",
+        "metric": "train_step_throughput_ltx_video_lora_49x512x768",
         "value": round(steps_per_sec, 5),
         "unit": "steps/sec/chip",
         "vs_baseline": round(vs_baseline, 5),
+        "model_tflops_per_sec": round(tflops, 2),
+        "mfu_vs_v5e_peak": round(tflops * 1e12 / V5E_PEAK_FLOPS, 4),
+        "remat": checkpoint or "none",
     }))
 
 

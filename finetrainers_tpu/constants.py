@@ -22,7 +22,8 @@ PRECOMPUTED_LATENTS_DIR_NAME = "latents"
 
 # Env knobs (names kept compatible with the reference so user scripts port over).
 FINETRAINERS_LOG_LEVEL = os.environ.get("FINETRAINERS_LOG_LEVEL", "INFO")
-FINETRAINERS_ATTN_PROVIDER = os.environ.get("FINETRAINERS_ATTN_PROVIDER", "native")
+# "auto": TPU flash kernel for long self-attention, XLA fused otherwise.
+FINETRAINERS_ATTN_PROVIDER = os.environ.get("FINETRAINERS_ATTN_PROVIDER", "auto")
 FINETRAINERS_ATTN_CHECKS = os.environ.get("FINETRAINERS_ATTN_CHECKS", "0") in ("1", "true", "TRUE", "True")
 FINETRAINERS_ENABLE_TIMING = os.environ.get("FINETRAINERS_ENABLE_TIMING", "1") in ("1", "true", "TRUE", "True")
 

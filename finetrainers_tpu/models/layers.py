@@ -59,9 +59,12 @@ class LoRADense(nn.Module):
             )
             lora_b = self.param("lora_b", nn.initializers.zeros_init(), (self.rank, self.features), self.param_dtype)
             scaling = self.alpha / self.rank
-            # LoRA math in fp32 (reference casts LoRA params fp32 under FSDP,
-            # trainer/sft_trainer/trainer.py:130-136).
-            delta = jnp.dot(jnp.dot(x.astype(jnp.float32), lora_a.astype(jnp.float32)), lora_b.astype(jnp.float32))
+            # LoRA params stored fp32 (optimizer-state precision, like the
+            # reference's fp32 LoRA under FSDP, trainer/sft_trainer/trainer.py:130-136)
+            # but the matmuls run in the module compute dtype: fp32 MXU passes are
+            # several times slower than bf16 and peft's adapters also run in the
+            # wrapped module's dtype.
+            delta = jnp.dot(jnp.dot(x.astype(self.dtype), lora_a.astype(self.dtype)), lora_b.astype(self.dtype))
             y = y + (scaling * delta).astype(y.dtype)
         return y
 

@@ -135,7 +135,7 @@ def attention_dispatch(
     fn = _AttentionProviderRegistry.get(name)
     if FINETRAINERS_ATTN_CHECKS:
         _check_shapes(query, key, value, attn_mask)
-    return fn(
+    out = fn(
         query=query,
         key=key,
         value=value,
@@ -145,6 +145,12 @@ def attention_dispatch(
         scale=scale,
         kv_lens=kv_lens,
     )
+    # Tag the attention output so remat policies can save it: recomputing a
+    # flash kernel's forward inside the backward doubles its cost for an
+    # 11MB-per-layer saving (see utils/activation_checkpoint "ops" policy).
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(out, "attn_out")
 
 
 # ---------------------------------------------------------------------- providers
@@ -197,6 +203,88 @@ def _math_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, k
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bnqk,bknh->bqnh", probs, value.astype(jnp.float32))
     return out.astype(query.dtype)
+
+
+def _pick_flash_block(seq: int, cap: int = 1024) -> Optional[int]:
+    """Largest divisor of `seq` that is a multiple of 128 and <= cap (the MXU/
+    VMEM sweet spot measured on v5e: 896 blocks run the S=2688 fwd+bwd ~3x
+    faster than the kernel's 512/128 defaults)."""
+    best = None
+    b = 128
+    while b <= min(seq, cap):
+        if seq % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+@_AttentionProviderRegistry.register("tpu_flash")
+def _tpu_flash_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+    """JAX's in-tree Pallas TPU flash-attention kernel (BNSH layout) — avoids
+    materializing the S x S score tensor in HBM, which the XLA fused path keeps
+    per layer (~925MB fp32 at S=2688/N=32; ~34GB at Wan-scale S=16k, where the
+    fused path simply OOMs). Block sizes are tuned per sequence length.
+
+    Constraints: no dense mask, MHA only (no GQA), self-attention-shaped
+    (Sq == Skv, both multiples of 128). kv_lens maps to kernel segment ids.
+    Anything else falls back to the XLA fused path."""
+    del dropout_p
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as jax_tpu_flash,
+    )
+
+    sq, skv = query.shape[1], key.shape[1]
+    bq = _pick_flash_block(sq)
+    bk = _pick_flash_block(skv)
+    if (
+        attn_mask is not None
+        or query.shape[2] != key.shape[2]
+        or sq != skv
+        or bq is None
+        or bk is None
+    ):
+        return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+    segment_ids = None
+    if kv_lens is not None:
+        kv_seg = (jnp.arange(skv)[None, :] < kv_lens[:, None]).astype(jnp.int32)
+        segment_ids = SegmentIds(q=jnp.ones((query.shape[0], sq), jnp.int32), kv=kv_seg)
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    q = jnp.swapaxes(query, 1, 2)  # BTNH -> BNSH
+    k = jnp.swapaxes(key, 1, 2)
+    v = jnp.swapaxes(value, 1, 2)
+    out = jax_tpu_flash(
+        q, k, v,
+        causal=is_causal,
+        segment_ids=segment_ids,
+        sm_scale=float(scale) if scale is not None else query.shape[-1] ** -0.5,
+        block_sizes=block_sizes,
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
+@_AttentionProviderRegistry.register("auto")
+def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+    """Default provider: the tuned TPU flash kernel for long self-attention on
+    TPU (saved-output remat makes it beat the fused path from ~2.5k tokens, and
+    the fused path OOMs outright at video scale), XLA fused otherwise (short/
+    cross attention, CPU meshes, GQA, dense masks)."""
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and attn_mask is None
+        and query.shape[2] == key.shape[2]
+        and query.shape[1] == key.shape[1]
+        and query.shape[1] >= 2048
+        and _pick_flash_block(query.shape[1]) is not None
+    )
+    if use_kernel:
+        return _tpu_flash_attention(query, key, value, None, 0.0, is_causal, scale, kv_lens)
+    return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
 
 
 def _register_flash_providers():

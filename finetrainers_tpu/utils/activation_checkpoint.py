@@ -27,10 +27,16 @@ def get_checkpoint_policy(checkpoint_type: str = "full") -> Optional[Callable]:
     if checkpoint_type == "full":
         return jax.checkpoint_policies.nothing_saveable
     if checkpoint_type == "ops":
-        # Save the FLOPs-heavy results (dots == matmuls + attention contractions),
-        # recompute elementwise/norm ops: the analog of the reference's
+        # Save the FLOPs-heavy results — projection/MLP matmuls (dots without
+        # batch dims) AND attention outputs (tagged "attn_out" by
+        # ops.attention_dispatch; an attention forward is a fused kernel whose
+        # recompute costs far more than the 11MB/layer it saves) — recompute
+        # cheap elementwise/norm ops. The analog of the reference's
         # "save mm every 2nd + SDPA" selective policy.
-        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
     if checkpoint_type == "block_skip":
         return jax.checkpoint_policies.nothing_saveable
     raise ValueError(f"Unknown checkpoint type {checkpoint_type!r}; choose from {CHECKPOINT_TYPES}")
