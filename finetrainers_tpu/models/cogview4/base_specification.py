@@ -63,8 +63,14 @@ class CogView4ModelSpecification(ModelSpecification):
 
     # ------------------------------------------------------------------ loading
     def load_condition_models(self) -> Dict[str, Any]:
-        encoder = HashEncoder(hidden_size=self.transformer_config["text_embed_dim"], max_length=128)
-        return {"tokenizer": None, "text_encoder": encoder}
+        from ..text_encoders import FlaxGlmHandle
+
+        encoder = self._load_text_tower(
+            FlaxGlmHandle, self.text_encoder_id, "text_encoder",
+            lambda: HashEncoder(hidden_size=self.transformer_config["text_embed_dim"], max_length=128),
+            tokenizer_id=self.tokenizer_id,
+        )
+        return {"tokenizer": getattr(encoder, "tokenizer", None), "text_encoder": encoder}
 
     def load_latent_models(self) -> Dict[str, Any]:
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)

@@ -66,17 +66,41 @@ class FluxModelSpecification(ModelSpecification):
         self.condition_model_processors = [
             CaptionTextDropoutProcessor(caption_dropout_p),
             CLIPPooledProcessor(["pooled_projections"]),
-            T5Processor(["encoder_hidden_states", "encoder_attention_mask"]),
+            T5Processor(["encoder_hidden_states", "encoder_attention_mask"],
+                        input_names={"text_encoder_2": "text_encoder"}),
         ]
 
     # ------------------------------------------------------------------ loading
     def load_condition_models(self) -> Dict[str, Any]:
-        # Real path: CLIP-L pooled + T5-XXL; offline: hash encoder with both heads.
-        encoder = HashEncoder(
-            hidden_size=self.transformer_config["joint_attention_dim"], max_length=512,
-            pooled_dim=self.transformer_config["pooled_projection_dim"],
+        # Real path: CLIP-L pooled (text_encoder) + T5-XXL (text_encoder_2);
+        # offline: hash encoder with both heads.
+        from ..text_encoders import FlaxCLIPTextHandle
+
+        def _fallback():
+            return HashEncoder(
+                hidden_size=self.transformer_config["joint_attention_dim"], max_length=512,
+                pooled_dim=self.transformer_config["pooled_projection_dim"],
+            )
+
+        text_encoder = self._load_text_tower(
+            FlaxCLIPTextHandle, self.text_encoder_id, "text_encoder", _fallback,
+            tokenizer_id=self.tokenizer_id,
         )
-        return {"tokenizer": None, "tokenizer_2": None, "text_encoder": encoder, "text_encoder_2": encoder}
+        text_encoder_2 = _fallback()
+        t5_dir = self._component_dir(self.text_encoder_2_id, "text_encoder_2")
+        if t5_dir is not None:
+            try:
+                from ...processors.text_encoders import FlaxT5Handle
+
+                text_encoder_2 = FlaxT5Handle(t5_dir, tokenizer_id=self.tokenizer_2_id)
+            except Exception as e:
+                logger.warning(f"Could not load T5 from {t5_dir} ({e}); using offline hash encoder")
+        return {
+            "tokenizer": getattr(text_encoder, "tokenizer", None),
+            "tokenizer_2": getattr(text_encoder_2, "tokenizer", None),
+            "text_encoder": text_encoder,
+            "text_encoder_2": text_encoder_2,
+        }
 
     def load_latent_models(self) -> Dict[str, Any]:
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
@@ -129,7 +153,8 @@ class FluxModelSpecification(ModelSpecification):
     # ------------------------------------------------------------- data prep
     def prepare_conditions(self, caption: str, text_encoder=None, text_encoder_2=None,
                            max_sequence_length: int = 512, **kwargs) -> Dict[str, Any]:
-        data = {"caption": caption, "text_encoder": text_encoder or text_encoder_2,
+        data = {"caption": caption, "text_encoder": text_encoder,
+                "text_encoder_2": text_encoder_2 or text_encoder,
                 "max_sequence_length": max_sequence_length}
         for processor in self.condition_model_processors:
             data.update(processor(**data))

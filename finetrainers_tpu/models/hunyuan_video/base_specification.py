@@ -65,12 +65,30 @@ class HunyuanVideoModelSpecification(ModelSpecification):
 
     # ------------------------------------------------------------------ loading
     def load_condition_models(self) -> Dict[str, Any]:
-        encoder = HashEncoder(
-            hidden_size=self.transformer_config["text_embed_dim"], max_length=256,
-            pooled_dim=self.transformer_config["pooled_projection_dim"],
+        from ..text_encoders import FlaxCLIPTextHandle, FlaxLlamaHandle
+
+        def _fallback():
+            encoder = HashEncoder(
+                hidden_size=self.transformer_config["text_embed_dim"], max_length=256,
+                pooled_dim=self.transformer_config["pooled_projection_dim"],
+            )
+            encoder.supports_template_crop = False
+            return encoder
+
+        text_encoder = self._load_text_tower(
+            FlaxLlamaHandle, self.text_encoder_id, "text_encoder", _fallback,
+            tokenizer_id=self.tokenizer_id,
         )
-        encoder.supports_template_crop = False
-        return {"tokenizer": None, "tokenizer_2": None, "text_encoder": encoder, "text_encoder_2": encoder}
+        text_encoder_2 = self._load_text_tower(
+            FlaxCLIPTextHandle, self.text_encoder_2_id, "text_encoder_2", _fallback,
+            tokenizer_id=self.tokenizer_2_id,
+        )
+        return {
+            "tokenizer": getattr(text_encoder, "tokenizer", None),
+            "tokenizer_2": getattr(text_encoder_2, "tokenizer", None),
+            "text_encoder": text_encoder,
+            "text_encoder_2": text_encoder_2,
+        }
 
     def load_latent_models(self) -> Dict[str, Any]:
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
@@ -124,6 +142,7 @@ class HunyuanVideoModelSpecification(ModelSpecification):
                            max_sequence_length: int = 256, guidance: float = 1.0,
                            **kwargs) -> Dict[str, Any]:
         data = {"caption": caption, "text_encoder": text_encoder,
+                "text_encoder_2": text_encoder_2 or text_encoder,
                 "max_sequence_length": max_sequence_length}
         for processor in self.condition_model_processors:
             data.update(processor(**data))

@@ -187,6 +187,37 @@ class ModelSpecification:
         with open(os.path.join(directory, "config.json"), "w") as f:
             json.dump(config, f, indent=2)
 
+    def _component_dir(self, explicit_id: Optional[str], subfolder: str) -> Optional[str]:
+        """Resolve a local HF component directory (explicit id or
+        <pretrained_model_name_or_path>/<subfolder>)."""
+        import os
+
+        for candidate in (
+            explicit_id,
+            os.path.join(self.pretrained_model_name_or_path or "", subfolder),
+        ):
+            if candidate and os.path.isdir(candidate) and os.path.exists(
+                os.path.join(candidate, "config.json")
+            ):
+                return candidate
+        return None
+
+    def _load_text_tower(self, handle_cls, explicit_id: Optional[str], subfolder: str,
+                         fallback_fn: Callable[[], Any], **kwargs):
+        """Load a real flax text/vision tower from a local checkpoint dir,
+        degrading loudly to the offline fallback (HashEncoder) otherwise."""
+        path = self._component_dir(explicit_id, subfolder)
+        if path is not None:
+            try:
+                tower = handle_cls(path, **kwargs)
+                logger.info(f"Loaded {handle_cls.__name__} from {path}")
+                return tower
+            except Exception as e:
+                logger.warning(
+                    f"Failed to load {handle_cls.__name__} from {path}: {e}; using offline fallback"
+                )
+        return fallback_fn()
+
     def _maybe_load_pretrained_transformer(self, params, converter, subfolder: str = "transformer",
                                            module=None):
         """If the pretrained path is a local diffusers directory, convert its

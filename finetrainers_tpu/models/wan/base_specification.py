@@ -88,8 +88,14 @@ class WanModelSpecification(ModelSpecification):
                                   pooled_dim=self.transformer_config.get("image_dim"))
         out = {"tokenizer": getattr(encoder, "tokenizer", None), "text_encoder": encoder}
         if self.is_i2v:
-            # CLIP-vision image encoder; offline fallback hashes pixels.
-            out["image_encoder"] = _OfflineImageEncoder(self.transformer_config["image_dim"])
+            # CLIP-vision image encoder (hidden_states[-2], reference wan spec
+            # :183-206); offline fallback hashes pixels.
+            from ..text_encoders import FlaxCLIPVisionHandle
+
+            out["image_encoder"] = self._load_text_tower(
+                FlaxCLIPVisionHandle, None, "image_encoder",
+                lambda: _OfflineImageEncoder(self.transformer_config["image_dim"]),
+            )
         return out
 
     def load_latent_models(self) -> Dict[str, Any]:

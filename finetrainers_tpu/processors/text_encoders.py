@@ -75,9 +75,11 @@ class FlaxT5Handle:
 class T5Processor(ProcessorMixin):
     """(reference processors/t5.py:9-87) -> {embeds, attention mask}."""
 
-    def __init__(self, output_names: List[str], use_attention_mask: bool = True):
+    def __init__(self, output_names: List[str], use_attention_mask: bool = True,
+                 input_names: Optional[Dict[str, str]] = None):
         self.output_names = output_names
         self.use_attention_mask = use_attention_mask
+        self.input_names = input_names
         assert len(output_names) == 2
 
     def forward(self, text_encoder, caption: Union[str, List[str]], max_sequence_length: int = 128, **kwargs):
