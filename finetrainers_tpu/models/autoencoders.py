@@ -248,6 +248,31 @@ def encode_tiled(
     return out / jnp.maximum(weight, 1.0)
 
 
+def encode_image_vae(vae_handle, x):
+    """Encode a (B, C, H, W) image through either the 2D AutoencoderKL or a
+    (degenerate single-frame) 3D VAE handle -> moments (B, 2C, H', W')."""
+    import jax.numpy as jnp
+
+    from .autoencoder_kl import AutoencoderKL
+
+    if isinstance(vae_handle.module, AutoencoderKL):
+        return vae_handle.apply(jnp.asarray(x), method=AutoencoderKL.encode)
+    moments = vae_handle.apply(jnp.asarray(x)[:, :, None], method=type(vae_handle.module).encode)
+    return moments[:, :, 0]
+
+
+def decode_image_vae(vae_handle, z):
+    """Decode (B, C, H', W') latents -> (B, 3, H, W) via either VAE family."""
+    import jax.numpy as jnp
+
+    from .autoencoder_kl import AutoencoderKL
+
+    if isinstance(vae_handle.module, AutoencoderKL):
+        return vae_handle.apply(jnp.asarray(z), method=AutoencoderKL.decode)
+    out = vae_handle.apply(jnp.asarray(z)[:, :, None], method=type(vae_handle.module).decode)
+    return out[:, :, 0]
+
+
 def sample_from_moments(moments: jax.Array, rng: jax.Array) -> jax.Array:
     """DiagonalGaussian sample; moments (B, 2C, ...) channel-split mean/logvar."""
     mean, logvar = jnp.split(moments, 2, axis=1)

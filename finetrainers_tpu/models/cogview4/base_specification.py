@@ -73,6 +73,9 @@ class CogView4ModelSpecification(ModelSpecification):
         return {"tokenizer": getattr(encoder, "tokenizer", None), "text_encoder": encoder}
 
     def load_latent_models(self) -> Dict[str, Any]:
+        handle = self._load_image_vae(default_scaling=1.0)
+        if handle is not None:
+            return {"vae": handle}
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
         ratio = self.vae_autoencoder_config.spatial_compression_ratio
         params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, ratio, ratio), jnp.float32))["params"]
@@ -129,10 +132,12 @@ class CogView4ModelSpecification(ModelSpecification):
         if image is None:
             image = np.asarray(video)[0]
         c, h, w = np.asarray(image).shape
-        x = np.asarray(image, np.float32)[None, :, None]
-        moments = np.asarray(vae.apply(jnp.asarray(x), method=type(vae.module).encode))
+        from ..autoencoders import encode_image_vae
+
+        x = np.asarray(image, np.float32)[None]
+        moments = np.asarray(encode_image_vae(vae, x))
         return {
-            "latents": moments[:, :, 0],
+            "latents": moments,
             "original_size": np.asarray([[h, w]], np.float32),
             "target_size": np.asarray([[h, w]], np.float32),
             "crop_coords": np.asarray([[0, 0]], np.float32),

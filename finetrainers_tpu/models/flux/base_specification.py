@@ -103,6 +103,9 @@ class FluxModelSpecification(ModelSpecification):
         }
 
     def load_latent_models(self) -> Dict[str, Any]:
+        handle = self._load_image_vae(default_scaling=0.3611, default_shift=0.1159)
+        if handle is not None:
+            return {"vae": handle}
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
         ratio = self.vae_autoencoder_config.spatial_compression_ratio
         params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, ratio, ratio), jnp.float32))["params"]
@@ -169,9 +172,11 @@ class FluxModelSpecification(ModelSpecification):
                         **kwargs) -> Dict[str, Any]:
         if image is None:
             image = np.asarray(video)[0]
-        x = np.asarray(image, np.float32)[None, :, None]  # (1, C, 1, H, W)
-        moments = np.asarray(vae.apply(jnp.asarray(x), method=type(vae.module).encode))
-        return {"latents": moments[:, :, 0]}  # (1, 2C, H', W')
+        from ..autoencoders import encode_image_vae
+
+        x = np.asarray(image, np.float32)[None]  # (1, C, H, W)
+        moments = np.asarray(encode_image_vae(vae, x))
+        return {"latents": moments}  # (1, 2C, H', W')
 
     # ---------------------------------------------------------------- training
     def forward(

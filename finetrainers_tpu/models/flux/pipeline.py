@@ -69,7 +69,9 @@ class FluxPipeline:
             latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
 
         latents = latents / 0.3611 + 0.1159
-        image = self.vae.apply(latents[:, :, None], method=type(self.vae.module).decode)[:, :, 0]
+        from ..autoencoders import decode_image_vae
+
+        image = decode_image_vae(self.vae, latents)
         image = np.asarray(jnp.clip((image + 1.0) / 2.0, 0.0, 1.0))
         return (image[0].transpose(1, 2, 0) * 255).astype(np.uint8)  # (H, W, 3)
 

@@ -218,6 +218,45 @@ class ModelSpecification:
                 )
         return fallback_fn()
 
+    def _load_image_vae(self, default_scaling: float = 0.18215,
+                        default_shift: Optional[float] = None) -> Optional["ModelHandle"]:
+        """Build the faithful 2D AutoencoderKL from a local diffusers `vae/`
+        directory (config.json [+ safetensors weights]). Returns None when no
+        checkpoint directory exists (callers keep their offline fallback).
+        Latent statistics (scaling/shift) come from the checkpoint config —
+        the reference encodes through the real pretrained VAEs
+        (e.g. flux/base_specification.py prepare_latents)."""
+        vae_dir = self._component_dir(self.vae_id, "vae")
+        if vae_dir is None:
+            return None
+        import jax
+
+        from .autoencoder_kl import AutoencoderKL, AutoencoderKLConfig, load_autoencoder_kl_params
+        from .weight_utils import load_diffusers_checkpoint_dir, load_diffusers_config
+
+        hf_cfg = load_diffusers_config(vae_dir)
+        cfg = AutoencoderKLConfig.from_hf(hf_cfg)
+        module = AutoencoderKL(cfg, dtype=self.vae_dtype)
+        ratio = cfg.spatial_compression_ratio
+        example = jnp.zeros((1, cfg.in_channels, ratio, ratio), jnp.float32)
+        try:
+            state = load_diffusers_checkpoint_dir(vae_dir)
+            abstract = jax.eval_shape(
+                lambda: module.init(jax.random.PRNGKey(0), example)["params"]
+            )
+            params = load_autoencoder_kl_params(state, abstract)
+            logger.info(f"Loaded AutoencoderKL weights from {vae_dir} ({len(state)} tensors)")
+        except FileNotFoundError:
+            logger.warning(f"{vae_dir} has a config but no weights; using random-init VAE")
+            params = module.init(jax.random.PRNGKey(0), example)["params"]
+        config = {
+            "latent_channels": cfg.latent_channels,
+            "spatial_compression_ratio": ratio,
+            "scaling_factor": hf_cfg.get("scaling_factor", default_scaling),
+            "shift_factor": hf_cfg.get("shift_factor", default_shift),
+        }
+        return ModelHandle(module, params, config)
+
     def _maybe_load_pretrained_transformer(self, params, converter, subfolder: str = "transformer",
                                            module=None):
         """If the pretrained path is a local diffusers directory, convert its
