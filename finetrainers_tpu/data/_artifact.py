@@ -11,6 +11,7 @@ class Artifact:
     type: str = "unknown"
     value: Any = None
     file_extension: str = "bin"
+    caption: Any = None  # prompt the sample was generated from (tracker panels)
 
 
 @dataclasses.dataclass

@@ -248,6 +248,19 @@ def encode_tiled(
     return out / jnp.maximum(weight, 1.0)
 
 
+def encode_media(vae_handle, x: jax.Array, tile: int = 256, overlap: int = 32) -> jax.Array:
+    """Encode (B, C, T, H, W) media through a 3D VAE handle, honoring the
+    handle's `use_slicing` / `use_tiling` memory modes (--enable_slicing /
+    --enable_tiling; reference `utils/diffusion.py:154-158` + the vae.use_slicing
+    branches of each spec's prepare_latents)."""
+    x = jnp.asarray(x)
+    if getattr(vae_handle, "use_tiling", False) and (x.shape[-2] > tile or x.shape[-1] > tile):
+        return encode_tiled(vae_handle, x, tile=tile, overlap=overlap)
+    if getattr(vae_handle, "use_slicing", False) and x.shape[0] > 1:
+        return encode_sliced(vae_handle, x)
+    return vae_handle.apply(x, method=type(vae_handle.module).encode)
+
+
 def encode_image_vae(vae_handle, x):
     """Encode a (B, C, H, W) image through either the 2D AutoencoderKL or a
     (degenerate single-frame) 3D VAE handle -> moments (B, 2C, H', W')."""

@@ -18,7 +18,7 @@ from jax.sharding import PartitionSpec
 
 from ...logging import get_logger
 from ...schedulers import CogVideoXDDIMScheduler
-from ..autoencoders import COGVIDEOX_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, sample_from_moments
+from ..autoencoders import COGVIDEOX_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, encode_media, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, HashEncoder, T5Processor
 from .transformer import CogVideoXTransformer3DModel
@@ -138,7 +138,7 @@ class CogVideoXModelSpecification(ModelSpecification):
         if video is None:
             video = np.asarray(image)[None]
         x = np.asarray(video, np.float32)[None].transpose(0, 2, 1, 3, 4)  # (1,C,F,H,W)
-        moments = np.asarray(vae.apply(jnp.asarray(x), method=type(vae.module).encode))
+        moments = np.asarray(encode_media(vae, x))
         # frames-first: (1, 2C, F, H, W) -> (1, F, 2C, H, W)
         return {"latents": moments.transpose(0, 2, 1, 3, 4)}
 

@@ -13,7 +13,7 @@ import numpy as np
 
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...schedulers import FlowMatchEulerScheduler
-from ..autoencoders import sample_from_moments
+from ..autoencoders import encode_media, sample_from_moments
 from ..modeling_utils import ControlModelSpecification, ModelHandle
 from .base_specification import CogView4ModelSpecification
 from .transformer import CogView4Transformer2DModel
@@ -72,7 +72,7 @@ class CogView4ControlModelSpecification(ControlModelSpecification, CogView4Model
         if control_image is not None:
             x = np.asarray(control_image, np.float32)[None, :, None]
             out["control_latents"] = np.asarray(
-                vae.apply(jnp.asarray(x), method=type(vae.module).encode)
+                encode_media(vae, x)
             )[:, :, 0]
         return out
 

@@ -17,7 +17,7 @@ from jax.sharding import PartitionSpec
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
 from ...schedulers import FlowMatchEulerScheduler
-from ..autoencoders import HUNYUAN_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, sample_from_moments
+from ..autoencoders import HUNYUAN_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, encode_media, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, CLIPPooledProcessor, HashEncoder, LlamaProcessor
 from .transformer import HunyuanVideoTransformer3DModel
@@ -158,7 +158,7 @@ class HunyuanVideoModelSpecification(ModelSpecification):
         if video is None:
             video = np.asarray(image)[None]
         x = np.asarray(video, np.float32)[None].transpose(0, 2, 1, 3, 4)
-        moments = np.asarray(vae.apply(jnp.asarray(x), method=type(vae.module).encode))
+        moments = np.asarray(encode_media(vae, x))
         return {"latents": moments}
 
     # ---------------------------------------------------------------- training

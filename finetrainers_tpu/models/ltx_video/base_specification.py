@@ -20,7 +20,7 @@ from jax.sharding import PartitionSpec
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
 from ...schedulers import FlowMatchEulerScheduler
-from ..autoencoders import LTX_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, sample_from_moments
+from ..autoencoders import LTX_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, encode_media, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, HashEncoder, T5Processor
 from .transformer import LTXVideoTransformer3DModel, pack_latents, unpack_latents
@@ -164,7 +164,7 @@ class LTXVideoModelSpecification(ModelSpecification):
         if video is None:
             video = np.asarray(image)[None]  # (C,H,W) -> (1,C,H,W) frames-first
         x = np.asarray(video, np.float32)[None].transpose(0, 2, 1, 3, 4)  # (1,C,F,H,W)
-        moments = vae.apply(jnp.asarray(x), method=type(vae.module).encode)
+        moments = encode_media(vae, x)
         if compute_posterior:
             latents = sample_from_moments(moments, jax.random.PRNGKey(0))
         else:

@@ -43,9 +43,19 @@ class ModelHandle:
     module: Any
     params: Any
     config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # Memory-bounded VAE encode modes (reference vae.enable_slicing()/enable_tiling(),
+    # utils/diffusion.py:154-158); honored by `autoencoders.encode_media`.
+    use_slicing: bool = False
+    use_tiling: bool = False
 
     def apply(self, *args, **kwargs):
         return self.module.apply({"params": self.params}, *args, **kwargs)
+
+    def enable_slicing(self) -> None:
+        self.use_slicing = True
+
+    def enable_tiling(self) -> None:
+        self.use_tiling = True
 
 
 class ModelSpecification:

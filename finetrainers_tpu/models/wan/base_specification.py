@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
 from ...schedulers import FlowMatchEulerScheduler
-from ..autoencoders import WAN_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, sample_from_moments
+from ..autoencoders import WAN_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, encode_media, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, HashEncoder, T5Processor
 from .transformer import WanTransformer3DModel
@@ -175,7 +175,7 @@ class WanModelSpecification(ModelSpecification):
         if video is None:
             video = np.asarray(image)[None]
         x = np.asarray(video, np.float32)[None].transpose(0, 2, 1, 3, 4)  # (1,C,F,H,W)
-        moments = np.asarray(vae.apply(jnp.asarray(x), method=type(vae.module).encode))
+        moments = np.asarray(encode_media(vae, x))
         out = {
             "latents": moments,
             "latents_mean": vae.config["latents_mean"],
@@ -188,7 +188,7 @@ class WanModelSpecification(ModelSpecification):
             cond_video[:, :, 1:] = 0.0
             if last_image is not None:
                 cond_video[:, :, -1:] = np.asarray(last_image, np.float32)[None, :, None]
-            cond_moments = np.asarray(vae.apply(jnp.asarray(cond_video), method=type(vae.module).encode))
+            cond_moments = np.asarray(encode_media(vae, cond_video))
             t_down = vae.config["temporal_compression_ratio"]
             lf, lh, lw = moments.shape[2], moments.shape[3], moments.shape[4]
             mask = np.zeros((1, t_down, lf, lh, lw), np.float32)

@@ -17,7 +17,7 @@ import numpy as np
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...schedulers import FlowMatchEulerScheduler
 from ...trainer.control_trainer.data import apply_frame_conditioning_on_latents_jax
-from ..autoencoders import sample_from_moments
+from ..autoencoders import encode_media, sample_from_moments
 from ..modeling_utils import ControlModelSpecification, ModelHandle
 from .base_specification import WanModelSpecification
 from .transformer import WanTransformer3DModel
@@ -82,7 +82,7 @@ class WanControlModelSpecification(ControlModelSpecification, WanModelSpecificat
         if control_video is not None:
             x = np.asarray(control_video, np.float32)[None].transpose(0, 2, 1, 3, 4)
             out["control_latents"] = np.asarray(
-                vae.apply(jnp.asarray(x), method=type(vae.module).encode)
+                encode_media(vae, x)
             )
         return out
 

@@ -316,6 +316,16 @@ def _register_flash_providers():
             and (scale is None or scale == query.shape[-1] ** -0.5)
         )
         if not is_self:
+            # Trace-time (compiles once per shape): surface the perf cliff — the
+            # reference rings 4 providers across settings; here non-self cases
+            # (cross-attn, causal, GQA, masks) all-gather KV via GSPMD instead.
+            logger.warning(
+                "ring provider: non-self-attention shape "
+                f"(q={tuple(query.shape)}, kv={tuple(key.shape)}, causal={is_causal}, "
+                f"masked={attn_mask is not None or kv_lens is not None}) falls back to "
+                "full-KV flash inside the CP region — KV is all-gathered, not ring-rotated",
+                frequency=1, frequency_key="ring-fallback",
+            )
             return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
         if registry._cp_mesh is not None:
             # Inside the trainer's plain-jit step: GSPMD-composable ring attention

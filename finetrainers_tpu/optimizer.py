@@ -1,7 +1,7 @@
 """Optimizers and LR schedules, built on optax.
 
-Parity with reference `finetrainers/optimizer.py:92-437`: adam/adamw (bitsandbytes
-8-bit variants map to optax's 8-bit-state `scale_by_adam` equivalents are TODO) and
+Parity with reference `finetrainers/optimizer.py:92-437`: adam/adamw, the
+bitsandbytes 8-bit variants (int8-quantized moment storage, `optim8bit.py`), and
 the full scheduler set: constant, constant_with_warmup, piecewise_constant, linear,
 cosine, cosine_with_restarts, polynomial.
 """
@@ -136,10 +136,18 @@ def get_optimizer(
     chain = []
     if max_grad_norm is not None and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    if name in ("adam", "adam-bnb-8bit"):
+    if name == "adam":
         chain.append(optax.adam(learning_rate, b1=beta1, b2=beta2, eps=epsilon))
-    elif name in ("adamw", "adamw-bnb-8bit"):
+    elif name == "adamw":
         chain.append(optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=epsilon, weight_decay=weight_decay))
+    elif name == "adam-bnb-8bit":
+        from .optim8bit import adam_8bit
+
+        chain.append(adam_8bit(learning_rate, b1=beta1, b2=beta2, eps=epsilon))
+    elif name == "adamw-bnb-8bit":
+        from .optim8bit import adamw_8bit
+
+        chain.append(adamw_8bit(learning_rate, b1=beta1, b2=beta2, eps=epsilon, weight_decay=weight_decay))
     else:
         raise ValueError(f"Unsupported optimizer {name}; choose from {SUPPORTED_OPTIMIZERS}")
     return optax.chain(*chain)

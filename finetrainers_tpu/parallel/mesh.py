@@ -164,18 +164,32 @@ class MeshEnv:
             spec[seq_dim] = AXIS_CP
         return NamedSharding(self.mesh, PartitionSpec(*spec))
 
-    def shard_batch(self, batch, seq_dims: Optional[dict] = None):
+    # Leaf names that are never batched even when their length happens to match
+    # the batch size (per-channel statistics collated once per batch).
+    REPLICATED_BATCH_KEYS = ("latents_mean", "latents_std")
+
+    def shard_batch(self, batch, seq_dims: Optional[dict] = None,
+                    batch_size: Optional[int] = None):
         """Device-put a host batch pytree with batch-dim sharding. `seq_dims` maps
-        pytree key paths (joined by '.') to the sequence dimension for CP sharding."""
+        pytree key paths (joined by '.') to the sequence dimension for CP sharding.
+
+        When `batch_size` (the global batch) is given, only tensors whose leading
+        dim equals it are batch-sharded; otherwise a divisibility heuristic is
+        used. Known per-channel stat keys are always replicated — a Wan
+        `latents_mean` of length 16 must not be scattered over 8 dp shards."""
         seq_dims = seq_dims or {}
 
         divisor = self.local_batch_size_divisor
 
         def _place(path, x):
             key = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-            # Non-batched tensors (scalars, per-channel stats, lookup tables) are
-            # replicated: only arrays whose leading dim is the global batch shard.
-            if getattr(x, "ndim", 0) == 0 or x.shape[0] % divisor != 0:
+            leaf = key.rsplit(".", 1)[-1]
+            is_batched = (
+                getattr(x, "ndim", 0) > 0
+                and leaf not in self.REPLICATED_BATCH_KEYS
+                and (x.shape[0] == batch_size if batch_size is not None else x.shape[0] % divisor == 0)
+            )
+            if not is_batched:
                 return jax.device_put(x, self.replicated())
             return jax.device_put(x, self.data_sharding(x.ndim, seq_dims.get(key)))
 

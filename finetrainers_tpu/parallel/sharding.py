@@ -133,6 +133,11 @@ def derive_opt_state_shardings(opt_state_abstract, param_shardings, mesh: Mesh,
         if len(shape) == 0:
             return replicated
         keys = tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        # 8-bit moments (optim8bit._Quantized) nest the param path under a
+        # trailing "codes" field with the param's exact shape; "scales" leaves
+        # ((..., 1)-shaped) fall through to the shape-driven rule.
+        if keys and keys[-1] == "codes":
+            keys = keys[:-1]
         for i in range(len(keys)):
             suffix = keys[i:]
             sh = flat_params.get(suffix)

@@ -54,6 +54,12 @@ class BaseTracker:
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         pass
 
+    def log_artifacts(self, artifacts: List[Dict[str, Any]], step: int) -> None:
+        """Log validation media. `artifacts`: [{"type": "image"|"video",
+        "path": str, "caption": str}] (reference logs wandb.Image/Video panels,
+        trainer/sft_trainer/trainer.py:702-712)."""
+        pass
+
     def finish(self) -> None:
         pass
 
@@ -78,6 +84,19 @@ class JSONLTracker(BaseTracker):
         self._file.write(json.dumps({"step": step, **scalars}) + "\n")
         self._file.flush()
 
+    def log_artifacts(self, artifacts: List[Dict[str, Any]], step: int) -> None:
+        entry = {
+            f"validation/artifact_{i}": a.get("path", "")
+            for i, a in enumerate(artifacts)
+        }
+        entry.update({
+            f"validation/caption_{i}": a["caption"]
+            for i, a in enumerate(artifacts) if a.get("caption")
+        })
+        if entry:
+            self._file.write(json.dumps({"step": step, **entry}) + "\n")
+            self._file.flush()
+
     def finish(self) -> None:
         self._file.close()
 
@@ -95,6 +114,24 @@ class WandbTracker(BaseTracker):
         metrics = dict(metrics)
         metrics.update(self._consume_timed())
         self.run.log(metrics, step=step)
+
+    def log_artifacts(self, artifacts: List[Dict[str, Any]], step: int) -> None:
+        """Image/video panels like the reference (wandb.Image / wandb.Video lists
+        under a single "validation" key)."""
+        images, videos = [], []
+        for a in artifacts:
+            caption = a.get("caption")
+            if a.get("type") == "video":
+                videos.append(self.wandb.Video(a["path"], caption=caption))
+            elif a.get("type") == "image":
+                images.append(self.wandb.Image(a["path"], caption=caption))
+        panel = {}
+        if images:
+            panel["validation/images"] = images
+        if videos:
+            panel["validation/videos"] = videos
+        if panel:
+            self.run.log(panel, step=step)
 
     def finish(self) -> None:
         self.run.finish()
@@ -115,6 +152,10 @@ class SequentialTracker(BaseTracker):
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         for tracker in self.trackers:
             tracker.log(metrics, step)
+
+    def log_artifacts(self, artifacts: List[Dict[str, Any]], step: int) -> None:
+        for tracker in self.trackers:
+            tracker.log_artifacts(artifacts, step)
 
     def finish(self) -> None:
         for tracker in self.trackers:

@@ -18,7 +18,7 @@ import numpy as np
 
 from ...logging import get_logger
 from ...lora import lora_mask, trainable_mask
-from ...models.modeling_utils import flatten_params
+from ...models.modeling_utils import flatten_params, unflatten_params
 from ..sft_trainer.trainer import SFTTrainer
 from .config import ControlType
 from .data import IterableControlDataset
@@ -49,6 +49,10 @@ class ControlTrainer(SFTTrainer):
         self.transformer = diffusion["transformer"]
         self.scheduler = diffusion["scheduler"]
         self.vae = spec.load_latent_models()["vae"]
+        if getattr(args, "enable_slicing", False):
+            self.vae.enable_slicing()
+        if getattr(args, "enable_tiling", False):
+            self.vae.enable_tiling()
         self.condition_models = spec.load_condition_models()
 
     def _prepare_trainable_parameters(self) -> None:
@@ -101,6 +105,33 @@ class ControlTrainer(SFTTrainer):
 
         self.preprocessor._processor_fn["latent"] = process_latent
         self._data_iterator = iter(self.dataloader)
+
+    def _load_fresh_transformer(self):
+        """Control transformers are loaded with the widened (2x or 3x) patch-embed
+        input channels — the final-validation reload must widen identically."""
+        spec = self.model_specification
+        args = self.args
+        base_in = spec.transformer_config["in_channels"]
+        new_in = base_in * 2
+        if getattr(args, "frame_conditioning_concatenate_mask", False):
+            new_in += base_in
+        return spec.load_diffusion_models(new_in_features=new_in)["transformer"]
+
+    def _apply_auxiliary_exports(self, params, export_dir: str):
+        """Re-apply exported qk-norm / injection-layer weights on top of the
+        fresh base + LoRA (inverse of `_save_auxiliary_weights`)."""
+        from ...utils.serialization import safetensors_load_dict
+
+        aux_path = os.path.join(export_dir, "control_aux_weights.safetensors")
+        if not os.path.exists(aux_path):
+            return params
+        aux = safetensors_load_dict(aux_path)
+        flat = flatten_params(params)
+        for key, value in aux.items():
+            if key not in flat:
+                raise KeyError(f"Auxiliary control weight {key!r} not found in target params")
+            flat[key] = np.asarray(value).astype(np.asarray(flat[key]).dtype)
+        return unflatten_params(flat)
 
     def _save_auxiliary_weights(self, directory: str, state: Dict[str, Any]) -> None:
         """Export qk-norm + injection-layer weights next to the LoRA safetensors

@@ -40,7 +40,14 @@ from ...data import (
 )
 from ...functional.diffusion import compute_loss_weighting
 from ...logging import get_logger
-from ...lora import lora_mask, merge_params, split_params, trainable_mask
+from ...lora import (
+    apply_lora_to_module_params,
+    load_lora_weights,
+    lora_mask,
+    merge_params,
+    split_params,
+    trainable_mask,
+)
 from ...models.modeling_utils import ModelHandle, count_params
 from ...optimizer import get_lr_scheduler, get_optimizer
 from ...parallel import make_param_shardings, shard_pytree
@@ -100,6 +107,11 @@ class SFTTrainer(Trainer):
         self.scheduler = diffusion["scheduler"]
         latents = spec.load_latent_models()
         self.vae = latents["vae"]
+        # Memory-bounded encode modes (reference utils/diffusion.py:154-158).
+        if getattr(self.args, "enable_slicing", False):
+            self.vae.enable_slicing()
+        if getattr(self.args, "enable_tiling", False):
+            self.vae.enable_tiling()
         self.condition_models = spec.load_condition_models()
 
     def _prepare_trainable_parameters(self) -> None:
@@ -393,8 +405,10 @@ class SFTTrainer(Trainer):
                 cond_batch = self.model_specification.collate_conditions(cond_list)
                 lat_batch = self.model_specification.collate_latents(lat_list)
                 seq_dims = self.model_specification.cp_plan() if self.mesh_env.context_parallel_enabled else {}
-                cond_batch = self.mesh_env.shard_batch(cond_batch, seq_dims=seq_dims)
-                lat_batch = self.mesh_env.shard_batch(lat_batch, seq_dims=seq_dims)
+                cond_batch = self.mesh_env.shard_batch(
+                    cond_batch, seq_dims=seq_dims, batch_size=global_batch_size)
+                lat_batch = self.mesh_env.shard_batch(
+                    lat_batch, seq_dims=seq_dims, batch_size=global_batch_size)
 
             t0 = time.perf_counter()
             with self.tracker.timed("timing/train_step"), self.attention_provider_ctx(training=True):
@@ -485,13 +499,76 @@ class SFTTrainer(Trainer):
             )
 
     # -------------------------------------------------------------- validation
+    def _load_fresh_transformer(self) -> ModelHandle:
+        """Freshly-loaded base transformer (pretrained weights where available)."""
+        return self.model_specification.load_diffusion_models()["transformer"]
+
+    def _apply_auxiliary_exports(self, params, export_dir: str):
+        """Hook for trainers that export extra weights next to the LoRA
+        (control trainer qk-norm/injection weights)."""
+        return params
+
+    def _load_exported_transformer(self) -> Optional[ModelHandle]:
+        """Rebuild the transformer from the on-disk export artifacts: fresh base
+        weights + the exported LoRA safetensors, or the exported diffusers-format
+        full model. Returns None when nothing was exported yet."""
+        args = self.args
+        spec = self.model_specification
+        if args.training_type in ("lora", "control-lora"):
+            export_dir = _latest_export(os.path.join(args.output_dir, "lora_weights"))
+            if export_dir is None:
+                return None
+            handle = self._load_fresh_transformer()
+            state, _config = load_lora_weights(export_dir)
+            params = apply_lora_to_module_params(
+                handle.params, handle.module, state, key_map=spec.transformer_key_map
+            )
+            params = self._apply_auxiliary_exports(params, export_dir)
+            return ModelHandle(handle.module, params, handle.config)
+        export_dir = _latest_export(os.path.join(args.output_dir, "model_weights"))
+        if export_dir is None:
+            return None
+        from ...models.weight_utils import (
+            load_diffusers_checkpoint_dir,
+            load_pretrained_into_params,
+            torch_state_dict_to_flax,
+        )
+
+        handle = self._load_fresh_transformer()
+        state = load_diffusers_checkpoint_dir(export_dir)
+        key_map = spec.transformer_key_map
+
+        def converter(sd, abstract):
+            return torch_state_dict_to_flax(sd, abstract, key_map=key_map)
+
+        params = load_pretrained_into_params(state, handle.params, converter, module=handle.module)
+        return ModelHandle(handle.module, params, handle.config)
+
+    def _init_validation_pipeline(self, final: bool = False):
+        """Non-final validation runs the live training params. The FINAL pass
+        instead reloads fresh base weights and applies the exported artifacts
+        (LoRA safetensors / exported diffusers model), proving the exports are
+        complete and loadable (reference trainer/sft_trainer/trainer.py:772-822)."""
+        spec = self.model_specification
+        if final:
+            try:
+                handle = self._load_exported_transformer()
+            except Exception as err:  # noqa: BLE001 — never lose the final pass
+                logger.warning(f"Final-validation export reload failed ({err!r}); using live weights")
+                handle = None
+            if handle is not None:
+                return spec.load_pipeline(transformer=handle, vae=self.vae)
+            if final:
+                logger.warning("No export artifacts found; final validation uses live weights")
+        params = merge_params(self._trainable, self._frozen)
+        handle = ModelHandle(self.transformer.module, params, self.transformer.config)
+        return spec.load_pipeline(transformer=handle, vae=self.vae)
+
     def _validate(self, step: int, final: bool = False) -> None:
         args = self.args
-        logger.info(f"Running validation at step {step}")
+        logger.info(f"Running validation at step {step}" + (" (final, from exports)" if final else ""))
         dataset = ValidationDataset(args.validation_dataset_file)
-        params = merge_params(self._trainable, self._frozen)
-        transformer = ModelHandle(self.transformer.module, params, self.transformer.config)
-        pipeline = self.model_specification.load_pipeline(transformer=transformer, vae=self.vae)
+        pipeline = self._init_validation_pipeline(final=final)
 
         artifacts = []
         with self.attention_provider_ctx(training=False):
@@ -506,16 +583,29 @@ class SFTTrainer(Trainer):
         out_dir.mkdir(parents=True, exist_ok=True)
         from ...data.utils import save_image, save_video
 
-        logged = {}
+        logged = []
         for i, artifact in enumerate(artifacts):
             path = out_dir / f"artifact-{jax.process_index()}-{i}.{artifact.file_extension}"
             if artifact.type == "video":
                 save_video(artifact.value, str(path))
             elif artifact.type == "image":
                 save_image(artifact.value, str(path))
-            logged[f"validation/artifact_{i}"] = str(path)
-        self.tracker.log(logged, step=step)
+            logged.append({
+                "type": artifact.type,
+                "path": str(path),
+                "caption": getattr(artifact, "caption", None),
+            })
+        self.tracker.log_artifacts(logged, step=step)
         logger.info(f"Validation wrote {len(artifacts)} artifacts to {out_dir}")
+
+
+def _latest_export(root: str) -> Optional[str]:
+    """Latest step-named subdirectory of an export root (e.g. lora_weights/000010)."""
+    p = pathlib.Path(root)
+    if not p.is_dir():
+        return None
+    steps = sorted((d for d in p.iterdir() if d.is_dir() and d.name.isdigit()), key=lambda d: int(d.name))
+    return str(steps[-1]) if steps else None
 
 
 def _jsonable(obj):

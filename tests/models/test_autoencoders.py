@@ -69,6 +69,24 @@ class TestAutoencoder:
         # Interior should match closely; tile borders blend.
         assert np.isfinite(np.asarray(tiled)).all()
 
+    def test_encode_media_honors_memory_modes(self):
+        """--enable_slicing/--enable_tiling set handle flags that encode_media
+        dispatches on; sliced output is bit-identical to the direct path."""
+        from finetrainers_tpu.models.autoencoders import encode_media
+
+        vae = _vae()
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, 8, 8))
+        direct = np.asarray(encode_media(vae, x))
+        vae.enable_slicing()
+        assert vae.use_slicing
+        sliced = np.asarray(encode_media(vae, x))
+        np.testing.assert_allclose(sliced, direct, atol=1e-5)
+        # Tiling kicks in only past the tile size; shape must be unchanged.
+        vae.enable_tiling()
+        big = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 3, 32, 32))
+        tiled = np.asarray(encode_media(vae, big, tile=16, overlap=8))
+        assert tiled.shape == np.asarray(encode_media(_vae(), big)).shape
+
     def test_posterior_sampling(self):
         moments = jnp.concatenate([jnp.ones((1, 4, 2, 4, 4)), jnp.full((1, 4, 2, 4, 4), -30.0)], axis=1)
         z = sample_from_moments(moments, jax.random.PRNGKey(0))

@@ -47,6 +47,21 @@ class TestMeshEnv:
         shard_shape = placed["latents"].sharding.shard_shape((8, 16, 4))
         assert shard_shape == (1, 16, 4)
 
+    def test_shard_batch_replicates_stats_and_non_batch(self):
+        """A per-channel stat whose length divides the dp shards (Wan
+        latents_mean of 16 on 8 shards) must stay replicated, and with an
+        explicit batch_size only true batch tensors get sharded."""
+        env = MeshEnv(ParallelDims(dp_shard=8))
+        batch = {
+            "latents": np.zeros((8, 4, 2, 2), np.float32),
+            "latents_mean": np.zeros((16,), np.float32),
+            "lookup": np.zeros((16, 3), np.float32),  # non-batch, divisible dim-0
+        }
+        placed = env.shard_batch(batch, batch_size=8)
+        assert placed["latents"].sharding.shard_shape((8, 4, 2, 2)) == (1, 4, 2, 2)
+        assert placed["latents_mean"].sharding.is_fully_replicated
+        assert placed["lookup"].sharding.is_fully_replicated
+
     def test_cp_seq_sharding(self):
         env = MeshEnv(ParallelDims(dp_shard=2, cp=4))
         sharding = env.data_sharding(3, seq_dim=1)

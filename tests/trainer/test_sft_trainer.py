@@ -67,7 +67,7 @@ def _run_training(tmp_path, tiny_dataset, extra_args, train_steps=10):
         "--transformer_dtype", "fp32",
         "--output_dir", str(tmp_path), "--seed", "42",
     ] + extra_args
-    train.main(argv)
+    return train.main(argv)
 
 
 class TestSFTTrainer:
@@ -127,6 +127,67 @@ class TestSFTTrainer:
         )
         val_dir = tmp_path / "validation" / "000006"
         assert val_dir.exists() and len(list(val_dir.iterdir())) > 0
+
+    def test_final_validation_reloads_exports(self, tmp_path, tiny_dataset):
+        """The final validation pass must rebuild the pipeline from the on-disk
+        export artifacts (fresh base + exported LoRA), not the live params
+        (reference trainer/sft_trainer/trainer.py:772-822)."""
+        import jax
+        import numpy as np
+
+        trainer = _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8"],
+            train_steps=6,
+        )
+        from finetrainers_tpu.models.modeling_utils import flatten_params
+
+        trained = {
+            k: np.asarray(v)
+            for k, v in flatten_params(trainer._trainable).items()
+            if v is not None and "lora_" in k
+        }
+        # Tamper with the LIVE trainable params: if the final pipeline still shows
+        # the trained values, it must have come from the exported safetensors.
+        trainer._trainable = jax.tree_util.tree_map(
+            lambda x: x * 0.0 if x is not None else None,
+            trainer._trainable,
+            is_leaf=lambda x: x is None,
+        )
+        pipeline = trainer._init_validation_pipeline(final=True)
+        reloaded = flatten_params(pipeline.transformer.params)
+        for key, value in trained.items():
+            np.testing.assert_allclose(
+                np.asarray(reloaded[key], np.float32), value.astype(np.float32),
+                rtol=1e-6, atol=1e-6, err_msg=key,
+            )
+
+    def test_adamw_8bit_states(self, tmp_path, tiny_dataset, monkeypatch):
+        """8-bit optimizer states train end-to-end on the sharded mesh and the
+        checkpointed opt state round-trips (bnb parity, reference optimizer.py:92-188)."""
+        # The dummy model's LoRA tensors are < bnb's 4096-element cutoff; lower it
+        # so the quantized path actually runs inside the jitted sharded step.
+        monkeypatch.setenv("FINETRAINERS_8BIT_MIN_SIZE", "64")
+        trainer = _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8",
+             "--optimizer", "adamw-bnb-8bit"],
+            train_steps=4,
+        )
+        import jax
+
+        from finetrainers_tpu.optim8bit import _Quantized
+
+        quantized = [
+            leaf for leaf in jax.tree_util.tree_leaves(
+                trainer._opt_state, is_leaf=lambda x: isinstance(x, _Quantized))
+            if isinstance(leaf, _Quantized)
+        ]
+        assert quantized, "big moment tensors must be stored quantized"
+        assert all(q.codes.dtype.name == "int8" for q in quantized)
+        assert all(np.isfinite(v) for v in trainer.state.train_state.global_avg_losses)
 
     def test_precomputation_on_disk(self, tmp_path, tiny_dataset):
         _run_training(

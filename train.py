@@ -80,6 +80,7 @@ def main(argv=None):
 
         trainer = SFTTrainer(args, model_specification)
     trainer.run()
+    return trainer
 
 
 if __name__ == "__main__":
