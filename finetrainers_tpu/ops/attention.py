@@ -123,18 +123,27 @@ def attention_dispatch(
     scale: Optional[float] = None,
     kv_lens: Optional[jax.Array] = None,
     provider: Optional[str] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single dispatch entry (reference attention_dispatch.py:405-447).
 
     query/key/value: (B, S, N, H). attn_mask: broadcastable boolean/additive mask
     of shape (B, 1|N, Sq, Skv) (True = attend). kv_lens: (B,) valid KV lengths —
     the TPU-friendly alternative to padding masks (lets the flash kernel mask by
-    index instead of materializing S×S masks).
+    index instead of materializing S×S masks). q_segment_ids/kv_segment_ids:
+    (B, S) int32 packed-varlen segment ids (reference flash_varlen cu_seqlens
+    packing, attention_dispatch.py:793-872) — routed to the flash_varlen provider.
     """
     name = provider or _AttentionProviderRegistry._active_provider
+    if q_segment_ids is not None and name != "flash_varlen":
+        name = "flash_varlen"  # only the varlen kernel understands packed ids
     fn = _AttentionProviderRegistry.get(name)
     if FINETRAINERS_ATTN_CHECKS:
         _check_shapes(query, key, value, attn_mask)
+    kwargs = {}
+    if q_segment_ids is not None:
+        kwargs = {"q_segment_ids": q_segment_ids, "kv_segment_ids": kv_segment_ids}
     out = fn(
         query=query,
         key=key,
@@ -144,6 +153,7 @@ def attention_dispatch(
         is_causal=is_causal,
         scale=scale,
         kv_lens=kv_lens,
+        **kwargs,
     )
     # Tag the attention output so remat policies can save it: recomputing a
     # flash kernel's forward inside the backward doubles its cost for an
@@ -160,6 +170,39 @@ def _mask_from_kv_lens(kv_lens: jax.Array, skv: int) -> jax.Array:
     # (B,) -> (B, 1, 1, Skv) boolean mask
     col = jnp.arange(skv)[None, :]
     return (col < kv_lens[:, None])[:, None, None, :]
+
+
+def _kv_lens_from_padding_mask(attn_mask: jax.Array, skv: int) -> jax.Array:
+    """Boolean padding mask -> per-batch valid KV lengths (reference
+    `_normalize_attn_mask`, attention_dispatch.py:543-591: masks are assumed to
+    be prefix/padding-style — each batch row attends to a prefix of KV)."""
+    mask = attn_mask
+    if mask.dtype != jnp.bool_:
+        mask = mask > -1.0  # additive masks: 0 attend / -inf blocked
+    batch = mask.shape[0]
+    mask = mask.reshape(batch, -1, skv).any(axis=1)  # (B, Skv)
+    return jnp.sum(mask.astype(jnp.int32), axis=-1)
+
+
+def pack_sequences(seqs, total_len: Optional[int] = None):
+    """Pack a list of (S_i, ...) arrays into one packed row: returns
+    (packed (1, total, ...), segment_ids (1, total) int32 with ids 1..n and -1
+    padding). Host-side utility for packed-varlen batches (reference
+    `_prepare_for_flash_attn_or_sage_varlen`, attention_dispatch.py:522-540)."""
+    lengths = [s.shape[0] for s in seqs]
+    total = sum(lengths)
+    total_len = total_len or total
+    if total_len < total:
+        raise ValueError(f"total_len={total_len} < packed length {total}")
+    packed = jnp.concatenate([jnp.asarray(s) for s in seqs], axis=0)
+    if total_len > total:
+        pad = [(0, total_len - total)] + [(0, 0)] * (packed.ndim - 1)
+        packed = jnp.pad(packed, pad)
+    ids = jnp.concatenate(
+        [jnp.full((n,), i + 1, jnp.int32) for i, n in enumerate(lengths)]
+        + ([jnp.full((total_len - total,), -1, jnp.int32)] if total_len > total else [])
+    )
+    return packed[None], ids[None]
 
 
 @_AttentionProviderRegistry.register("native")
@@ -298,6 +341,27 @@ def _register_flash_providers():
             # General masks fall back to the XLA fused path; kv_lens is the fast path.
             return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
         return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+
+    @_AttentionProviderRegistry.register("flash_varlen")
+    def _flash_varlen(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
+                      q_segment_ids=None, kv_segment_ids=None):
+        """Packed variable-length batching (reference flash_varlen,
+        attention_dispatch.py:793-872). TPU-native design: instead of cu_seqlens
+        ragged memory layouts (which break XLA's static shapes), sequences are
+        packed along the sequence axis with per-token segment ids and the Pallas
+        kernel masks cross-segment pairs block-wise. A boolean padding mask is
+        normalized to kv_lens exactly like the reference's _normalize_attn_mask
+        (:543-591)."""
+        del dropout_p
+        if attn_mask is not None and kv_lens is None and kv_segment_ids is None:
+            kv_lens = _kv_lens_from_padding_mask(attn_mask, key.shape[1])
+            attn_mask = None
+        if attn_mask is not None:
+            return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+        return flash_attention(
+            query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        )
 
     @_AttentionProviderRegistry.register("ring", supports_cp=True)
     def _ring(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):

@@ -16,6 +16,12 @@ Design (canonical TPU blockwise attention):
     the saved logsumexp (flash-attention-2 style; no S×S materialization).
   - Variable KV length via a (B,) `kv_lens` array (TPU-friendly padding mask:
     index comparison instead of a materialized S×S mask).
+  - Packed varlen batching via `q_segment_ids`/`kv_segment_ids` (B, S) arrays —
+    tokens attend only within their segment (block-diagonal mask), covering the
+    reference's `flash_varlen` cu_seqlens packing
+    (`/root/reference/finetrainers/models/attention_dispatch.py:793-872`).
+    Layout follows the proven Mosaic tiling: q ids broadcast over 128 lanes,
+    kv ids over 8 sublanes.
   - GQA: handled by head-broadcasting outside the custom_vjp boundary, so the
     repeat's transpose (a sum over the group) is derived by autodiff.
 
@@ -64,19 +70,20 @@ def _fwd_kernel(
     q_ref,  # (1, 1, bq, H)
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
-    o_ref,  # (1, 1, bq, H)
-    lse_ref,  # (1, 1, bq, 8) — lse replicated over 8 lanes (Mosaic tiling-friendly)
-    m_scr,  # (bq, 128) f32
-    l_scr,  # (bq, 128) f32
-    acc_scr,  # (bq, H) f32
-    *,
+    *rest,  # [q_seg_ref (1, bq, 128), kv_seg_ref (1, 8, bkv),] o_ref, lse_ref, scratch x3
     scale: float,
     causal: bool,
+    has_segments: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
     kv_seq_len: int,
 ):
+    if has_segments:
+        q_seg_ref, kv_seg_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        q_seg_ref = kv_seg_ref = None
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
@@ -102,6 +109,10 @@ def _fwd_kernel(
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+        if q_seg_ref is not None:
+            seg_q = q_seg_ref[0, :, :1]  # (bq, 1)
+            seg_kv = kv_seg_ref[0, :1, :]  # (1, bkv)
+            mask = jnp.logical_and(mask, seg_q == seg_kv)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]  # (bq, 1)
@@ -141,8 +152,19 @@ def _fwd_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
-def _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv):
-    """q,k,v: (B, N, S, H) — returns (out, lse)."""
+def _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad):
+    """(B, Sq)/(B, Skv) int32 -> Mosaic-tiled (B, q_pad, 128)/(B, 8, kv_pad);
+    padded q rows get -1, padded kv cols -2, so padding never matches anything."""
+    b = q_seg.shape[0]
+    q_seg = jnp.pad(q_seg, ((0, 0), (0, q_pad - q_seg.shape[1])), constant_values=-1)
+    kv_seg = jnp.pad(kv_seg, ((0, 0), (0, kv_pad - kv_seg.shape[1])), constant_values=-2)
+    q_b = jax.lax.broadcast_in_dim(q_seg.astype(jnp.int32), (b, q_pad, 128), (0, 1))
+    kv_b = jax.lax.broadcast_in_dim(kv_seg.astype(jnp.int32), (b, 8, kv_pad), (0, 2))
+    return q_b, kv_b
+
+
+def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv):
+    """q,k,v: (B, N, S, H); q_seg/kv_seg: optional (B, S) int32 — returns (out, lse)."""
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
 
@@ -153,6 +175,7 @@ def _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv):
     q = _pad_to(q, q_pad, 2)
     k = _pad_to(k, kv_pad, 2)
     v = _pad_to(v, kv_pad, 2)
+    has_segments = q_seg is not None
 
     grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
 
@@ -160,21 +183,31 @@ def _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv):
         _fwd_kernel,
         scale=scale,
         causal=causal,
+        has_segments=has_segments,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
         kv_seq_len=kv_len,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+    ]
+    operands = [kv_lens, q, k, v]
+    if has_segments:
+        q_seg_b, kv_seg_b = _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad)
+        in_specs += [
+            pl.BlockSpec((1, block_q, 128), lambda b, n, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_kv), lambda b, n, i, j, *_: (b, 0, j)),
+        ]
+        operands += [q_seg_b, kv_seg_b]
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
-                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
-                pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
@@ -190,7 +223,7 @@ def _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv):
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, 8), jnp.float32),
         ],
         interpret=_interpret(),
-    )(kv_lens, q, k, v)
+    )(*operands)
     return out[:, :, :q_len], lse[:, :, :q_len, 0]
 
 
@@ -205,18 +238,20 @@ def _bwd_dkdv_kernel(
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    dk_ref,  # (1, 1, bkv, H)
-    dv_ref,  # (1, 1, bkv, H)
-    dk_scr,  # (bkv, H) f32
-    dv_scr,  # (bkv, H) f32
-    *,
+    *rest,  # [q_seg_ref, kv_seg_ref,] dk_ref, dv_ref, dk_scr, dv_scr
     scale: float,
     causal: bool,
+    has_segments: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
     kv_seq_len: int,
 ):
+    if has_segments:
+        q_seg_ref, kv_seg_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
+    else:
+        q_seg_ref = kv_seg_ref = None
+        dk_ref, dv_ref, dk_scr, dv_scr = rest
     b = pl.program_id(0)
     kj = pl.program_id(2)
     qi = pl.program_id(3)
@@ -245,6 +280,8 @@ def _bwd_dkdv_kernel(
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+        if q_seg_ref is not None:
+            mask = jnp.logical_and(mask, q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :])
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (bq, bkv)
 
         # dv += P^T @ dO
@@ -285,16 +322,20 @@ def _bwd_dq_kernel(
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    dq_ref,  # (1, 1, bq, H)
-    dq_scr,  # (bq, H) f32
-    *,
+    *rest,  # [q_seg_ref, kv_seg_ref,] dq_ref, dq_scr
     scale: float,
     causal: bool,
+    has_segments: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
     kv_seq_len: int,
 ):
+    if has_segments:
+        q_seg_ref, kv_seg_ref, dq_ref, dq_scr = rest
+    else:
+        q_seg_ref = kv_seg_ref = None
+        dq_ref, dq_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
@@ -322,6 +363,8 @@ def _bwd_dq_kernel(
         if causal:
             row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+        if q_seg_ref is not None:
+            mask = jnp.logical_and(mask, q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :])
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -346,9 +389,10 @@ def _bwd_dq_kernel(
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, block_kv):
+def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal, block_q, block_kv):
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
+    has_segments = q_seg is not None
 
     # delta = rowsum(dO * O): cheap elementwise+reduce — let XLA fuse it.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, N, Sq)
@@ -371,11 +415,26 @@ def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, bloc
     common = dict(
         scale=scale,
         causal=causal,
+        has_segments=has_segments,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
         kv_seq_len=kv_len,
     )
+    seg_operands = []
+    dkdv_seg_specs = []
+    dq_seg_specs = []
+    if has_segments:
+        q_seg_b, kv_seg_b = _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad)
+        seg_operands = [q_seg_b, kv_seg_b]
+        dkdv_seg_specs = [
+            pl.BlockSpec((1, block_q, 128), lambda b, n, j, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_kv), lambda b, n, j, i, *_: (b, 0, j)),
+        ]
+        dq_seg_specs = [
+            pl.BlockSpec((1, block_q, 128), lambda b, n, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_kv), lambda b, n, i, j, *_: (b, 0, j)),
+        ]
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
@@ -389,7 +448,7 @@ def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, bloc
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 8), lambda b, n, j, i, *_: (b, n, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 8), lambda b, n, j, i, *_: (b, n, i, 0)),
-            ],
+            ] + dkdv_seg_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
@@ -404,7 +463,7 @@ def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, bloc
             jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), v.dtype),
         ],
         interpret=_interpret(),
-    )(kv_lens, qp, kp, vp, dop, lsep, deltap)
+    )(kv_lens, qp, kp, vp, dop, lsep, deltap, *seg_operands)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
@@ -418,7 +477,7 @@ def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, bloc
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
-            ],
+            ] + dq_seg_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
             ],
@@ -430,7 +489,7 @@ def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, bloc
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
         ],
         interpret=_interpret(),
-    )(kv_lens, qp, kp, vp, dop, lsep, deltap)[0]
+    )(kv_lens, qp, kp, vp, dop, lsep, deltap, *seg_operands)[0]
 
     return dq[:, :, :q_len], dk[:, :, :kv_len], dv[:, :, :kv_len]
 
@@ -438,21 +497,23 @@ def _flash_backward(q, k, v, kv_lens, out, lse, do, scale, causal, block_q, bloc
 # ----------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_mha(q, k, v, kv_lens, scale, causal, block_q, block_kv):
-    out, _ = _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_mha(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv):
+    out, _ = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv)
     return out
 
 
-def _flash_mha_fwd(q, k, v, kv_lens, scale, causal, block_q, block_kv):
-    out, lse = _flash_forward(q, k, v, kv_lens, scale, causal, block_q, block_kv)
-    return out, (q, k, v, kv_lens, out, lse)
+def _flash_mha_fwd(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv):
+    out, lse = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv)
+    return out, (q, k, v, kv_lens, q_seg, kv_seg, out, lse)
 
 
 def _flash_mha_bwd(scale, causal, block_q, block_kv, residuals, g):
-    q, k, v, kv_lens, out, lse = residuals
-    dq, dk, dv = _flash_backward(q, k, v, kv_lens, out, lse, g, scale, causal, block_q, block_kv)
-    return dq, dk, dv, None
+    q, k, v, kv_lens, q_seg, kv_seg, out, lse = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, kv_lens, q_seg, kv_seg, out, lse, g, scale, causal, block_q, block_kv
+    )
+    return dq, dk, dv, None, None, None
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
@@ -467,17 +528,27 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention on BTNH tensors.
 
     query: (B, Sq, N, H); key/value: (B, Skv, Nkv, H) with Nkv dividing N (GQA).
     kv_lens: optional (B,) int32 valid KV lengths.
+    q_segment_ids/kv_segment_ids: optional (B, Sq)/(B, Skv) int32 — packed varlen
+    batching; tokens attend only within equal ids (ids must be >= 0; use -1 to
+    mark padding). Both must be given together. Causal masking composes with
+    *global* positions; per-segment causal restarts are not supported (raise).
     """
     batch, q_len, num_heads, head_dim = query.shape
     kv_len = key.shape[1]
     num_kv_heads = key.shape[2]
     if scale is None:
         scale = head_dim**-0.5
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError("q_segment_ids and kv_segment_ids must be given together")
+    if q_segment_ids is not None and causal:
+        raise NotImplementedError("per-segment causal masking is not supported")
     if kv_lens is None:
         kv_lens = jnp.full((batch,), kv_len, dtype=jnp.int32)
     else:
@@ -492,5 +563,8 @@ def flash_attention(
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    out = _flash_mha(q, k, v, kv_lens, float(scale), bool(causal), int(block_q), int(block_kv))
+    out = _flash_mha(
+        q, k, v, kv_lens, q_segment_ids, kv_segment_ids,
+        float(scale), bool(causal), int(block_q), int(block_kv),
+    )
     return jnp.swapaxes(out, 1, 2)

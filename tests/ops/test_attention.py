@@ -147,3 +147,81 @@ class TestRingAttentionCP:
         )(q, k, v)
         for a, b in zip(g_ring, g_ref):
             np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-3)
+
+
+class TestFlashVarlen:
+    """Packed varlen batching (reference flash_varlen, attention_dispatch.py:793-872):
+    packed-with-segment-ids outputs/grads must equal running each sequence alone."""
+
+    def _packed_case(self):
+        from finetrainers_tpu.ops.attention import pack_sequences
+
+        rng = jax.random.PRNGKey(7)
+        n, h = 4, 32
+        lens = [40, 56, 32]  # three sequences packed into one row (padded to 136)
+        qs, ks, vs = [], [], []
+        for i, s in enumerate(lens):
+            qs.append(jax.random.normal(jax.random.fold_in(rng, 10 + i), (s, n, h)))
+            ks.append(jax.random.normal(jax.random.fold_in(rng, 20 + i), (s, n, h)))
+            vs.append(jax.random.normal(jax.random.fold_in(rng, 30 + i), (s, n, h)))
+        total = 136  # includes 8 tokens of -1 padding
+        packed_q, seg = pack_sequences(qs, total)
+        packed_k, _ = pack_sequences(ks, total)
+        packed_v, _ = pack_sequences(vs, total)
+        return lens, qs, ks, vs, packed_q, packed_k, packed_v, seg
+
+    def test_packed_matches_per_sequence(self):
+        lens, qs, ks, vs, pq, pk, pv, seg = self._packed_case()
+        out = attention_dispatch(pq, pk, pv, provider="flash_varlen",
+                                 q_segment_ids=seg, kv_segment_ids=seg)
+        offset = 0
+        for i, s in enumerate(lens):
+            ref = attention_dispatch(qs[i][None], ks[i][None], vs[i][None],
+                                     provider="_native_math")
+            np.testing.assert_allclose(
+                np.asarray(out[0, offset:offset + s]), np.asarray(ref[0]),
+                atol=2e-4, rtol=1e-3, err_msg=f"segment {i}")
+            offset += s
+
+    def test_packed_grads_match(self):
+        lens, qs, ks, vs, pq, pk, pv, seg = self._packed_case()
+
+        def packed_loss(q, k, v):
+            out = attention_dispatch(q, k, v, provider="flash_varlen",
+                                     q_segment_ids=seg, kv_segment_ids=seg)
+            return jnp.sum(jnp.sin(out))
+
+        gq, gk, gv = jax.grad(packed_loss, argnums=(0, 1, 2))(pq, pk, pv)
+
+        offset = 0
+        for i, s in enumerate(lens):
+            def solo_loss(q, k, v):
+                out = attention_dispatch(q, k, v, provider="flash")
+                return jnp.sum(jnp.sin(out))
+
+            rq, rk, rv = jax.grad(solo_loss, argnums=(0, 1, 2))(
+                qs[i][None], ks[i][None], vs[i][None])
+            np.testing.assert_allclose(np.asarray(gq[0, offset:offset + s]),
+                                       np.asarray(rq[0]), atol=2e-4, rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(gk[0, offset:offset + s]),
+                                       np.asarray(rk[0]), atol=2e-4, rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(gv[0, offset:offset + s]),
+                                       np.asarray(rv[0]), atol=2e-4, rtol=1e-3)
+            offset += s
+        # padding tokens got zero grads
+        assert float(jnp.abs(gq[0, sum(lens):]).max()) == 0.0
+
+    def test_padding_mask_normalizes_to_kv_lens(self):
+        q, k, v = _qkv(b=2, sq=64, skv=64)
+        mask = jnp.ones((2, 1, 64, 64), bool).at[1, :, :, 48:].set(False)
+        out = attention_dispatch(q, k, v, attn_mask=mask, provider="flash_varlen")
+        ref = attention_dispatch(q, k, v, kv_lens=jnp.asarray([64, 48]),
+                                 provider="_native_math")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+    def test_dispatch_routes_segments_to_varlen(self):
+        lens, qs, ks, vs, pq, pk, pv, seg = self._packed_case()
+        out = attention_dispatch(pq, pk, pv, q_segment_ids=seg, kv_segment_ids=seg)
+        out2 = attention_dispatch(pq, pk, pv, provider="flash_varlen",
+                                  q_segment_ids=seg, kv_segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
