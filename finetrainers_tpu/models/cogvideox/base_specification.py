@@ -76,6 +76,16 @@ class CogVideoXModelSpecification(ModelSpecification):
         return {"tokenizer": None, "text_encoder": encoder}
 
     def load_latent_models(self) -> Dict[str, Any]:
+        # Faithful AutoencoderKLCogVideoX with real weights (reference
+        # cogvideox/base_specification.py prepare_latents).
+        from .vae import AutoencoderKLCogVideoX, CogVideoXVAEConfig, load_cogvideox_vae_params
+
+        handle = self._load_video_vae(
+            AutoencoderKLCogVideoX, CogVideoXVAEConfig, load_cogvideox_vae_params,
+            default_scaling=1.15258426,
+        )
+        if handle is not None:
+            return {"vae": handle}
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
         ratio = self.vae_autoencoder_config.spatial_compression_ratio
         params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, ratio, ratio), jnp.float32))["params"]

@@ -91,6 +91,16 @@ class HunyuanVideoModelSpecification(ModelSpecification):
         }
 
     def load_latent_models(self) -> Dict[str, Any]:
+        # Faithful AutoencoderKLHunyuanVideo with real weights (reference
+        # hunyuan_video/base_specification.py prepare_latents).
+        from .vae import AutoencoderKLHunyuanVideo, HunyuanVAEConfig, load_hunyuan_vae_params
+
+        handle = self._load_video_vae(
+            AutoencoderKLHunyuanVideo, HunyuanVAEConfig, load_hunyuan_vae_params,
+            default_scaling=0.476986,
+        )
+        if handle is not None:
+            return {"vae": handle}
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
         ratio = self.vae_autoencoder_config.spatial_compression_ratio
         params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, ratio, ratio), jnp.float32))["params"]

@@ -88,6 +88,15 @@ class LTXVideoModelSpecification(ModelSpecification):
         return {"tokenizer": getattr(encoder, "tokenizer", None), "text_encoder": encoder}
 
     def load_latent_models(self) -> Dict[str, Any]:
+        # Faithful AutoencoderKLLTXVideo with real weights + per-channel latent
+        # statistics (reference ltx_video/base_specification.py:260-280).
+        from .vae import AutoencoderKLLTXVideo, LTXVAEConfig, load_ltx_vae_params
+
+        handle = self._load_video_vae(AutoencoderKLLTXVideo, LTXVAEConfig, load_ltx_vae_params)
+        if handle is not None:
+            self.vae_spatial_compression_ratio = handle.config["spatial_compression_ratio"]
+            self.vae_temporal_compression_ratio = handle.config["temporal_compression_ratio"]
+            return {"vae": handle}
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
         ratio = self.vae_autoencoder_config.spatial_compression_ratio
         t_ratio = self.vae_autoencoder_config.temporal_compression_ratio

@@ -267,6 +267,52 @@ class ModelSpecification:
         }
         return ModelHandle(module, params, config)
 
+    def _load_video_vae(self, module_cls, config_cls, loader,
+                        default_scaling: float = 1.0) -> Optional["ModelHandle"]:
+        """Build a faithful per-family causal 3D VAE (AutoencoderKLWan /
+        AutoencoderKLLTXVideo / AutoencoderKLHunyuanVideo / AutoencoderKLCogVideoX
+        flax ports) from a local diffusers `vae/` directory, loading its weights
+        AND latent statistics. Returns None when no checkpoint dir exists
+        (callers keep their structural offline fallback). Reference bar: the
+        specs encode through the real pretrained VAEs
+        (e.g. wan/base_specification.py:420-474)."""
+        import jax
+
+        from .weight_utils import load_diffusers_checkpoint_dir, load_diffusers_config
+
+        vae_dir = self._component_dir(self.vae_id, "vae")
+        if vae_dir is None:
+            return None
+        hf_cfg = load_diffusers_config(vae_dir)
+        cfg = config_cls.from_hf(hf_cfg)
+        module = module_cls(cfg, dtype=self.vae_dtype)
+        ratio = cfg.spatial_compression_ratio
+        example = jnp.zeros((1, hf_cfg.get("in_channels", 3), 1, ratio, ratio), jnp.float32)
+        try:
+            state = load_diffusers_checkpoint_dir(vae_dir)
+            abstract = jax.eval_shape(
+                lambda: module.init(jax.random.PRNGKey(0), example)["params"]
+            )
+            params = loader(state, abstract)
+            logger.info(f"Loaded {module_cls.__name__} weights from {vae_dir} ({len(state)} tensors)")
+        except FileNotFoundError:
+            logger.warning(f"{vae_dir} has a config but no weights; using random-init VAE")
+            params = module.init(jax.random.PRNGKey(0), example)["params"]
+        latent_ch = getattr(cfg, "z_dim", None) or getattr(cfg, "latent_channels", None)
+        mean = hf_cfg.get("latents_mean")
+        std = hf_cfg.get("latents_std")
+        config = {
+            "latent_channels": latent_ch,
+            "spatial_compression_ratio": ratio,
+            "temporal_compression_ratio": cfg.temporal_compression_ratio,
+            "scaling_factor": hf_cfg.get("scaling_factor", default_scaling),
+            "latents_mean": np.asarray(mean, np.float32) if mean is not None
+            else np.zeros((latent_ch,), np.float32),
+            "latents_std": np.asarray(std, np.float32) if std is not None
+            else np.ones((latent_ch,), np.float32),
+        }
+        return ModelHandle(module, params, config)
+
     def _maybe_load_pretrained_transformer(self, params, converter, subfolder: str = "transformer",
                                            module=None):
         """If the pretrained path is a local diffusers directory, convert its

@@ -99,6 +99,13 @@ class WanModelSpecification(ModelSpecification):
         return out
 
     def load_latent_models(self) -> Dict[str, Any]:
+        # Faithful AutoencoderKLWan with real weights + latent statistics from a
+        # local diffusers checkpoint (reference wan/base_specification.py:420-474).
+        from .vae import AutoencoderKLWan, WanVAEConfig, load_wan_vae_params
+
+        handle = self._load_video_vae(AutoencoderKLWan, WanVAEConfig, load_wan_vae_params)
+        if handle is not None:
+            return {"vae": handle}
         module = AutoencoderKL3D(self.vae_autoencoder_config, dtype=self.vae_dtype)
         ratio = self.vae_autoencoder_config.spatial_compression_ratio
         params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, ratio, ratio), jnp.float32))["params"]
