@@ -429,8 +429,12 @@ def initialize_dataset(
     """Auto-detect the dataset layout (reference dataset.py:824-1002)."""
     root = pathlib.Path(dataset_name_or_root)
     if not root.exists():
+        if _looks_like_hub_id(dataset_name_or_root):
+            return _initialize_hub_dataset(
+                dataset_name_or_root, dataset_type, infinite, caption_options
+            )
         raise FileNotFoundError(
-            f"{dataset_name_or_root} does not exist locally (hub streaming requires network access)"
+            f"{dataset_name_or_root} does not exist locally and is not a hub dataset id"
         )
     cls_image = dataset_type == "image"
 
@@ -455,6 +459,50 @@ def initialize_dataset(
     ds = cls(str(root), infinite=infinite)
     if len(ds) == 0:
         raise ValueError(f"Could not detect a supported dataset layout under {root}")
+    return ds
+
+
+def _looks_like_hub_id(name: str) -> bool:
+    import re
+
+    return re.fullmatch(r"[\w][\w.\-]*/[\w][\w.\-]*", name) is not None
+
+
+def _initialize_hub_dataset(
+    repo_id: str,
+    dataset_type: str,
+    infinite: bool,
+    caption_options: Optional[Dict[str, Any]],
+):
+    """Hub-dataset branch of the auto-detection (reference dataset.py:824-1002
+    hub path): list the repo's files to pick the layout, snapshot-download the
+    needed subset, and reuse the local dataset classes over the cached copy.
+    Requires network access (huggingface_hub)."""
+    from huggingface_hub import list_repo_files, snapshot_download
+
+    files = list_repo_files(repo_id, repo_type="dataset")
+    cls_image = dataset_type == "image"
+    has = lambda name: name in files
+
+    if any(has(m) for m in ("metadata.json", "metadata.jsonl", "metadata.csv")):
+        root = snapshot_download(repo_id, repo_type="dataset")
+        cls = ImageFolderDataset if cls_image else VideoFolderDataset
+        return cls(root, infinite=infinite)
+    if any(f.endswith(".tar") for f in files):
+        root = snapshot_download(repo_id, repo_type="dataset", allow_patterns=["*.tar"])
+        cls = ImageWebDataset if cls_image else VideoWebDataset
+        return cls(root, infinite=infinite, **(caption_options or {}))
+    if any(has(f) for f in COMMON_CAPTION_FILES) and (
+        any(has(f) for f in COMMON_VIDEO_FILES) or any(has(f) for f in COMMON_IMAGE_FILES)
+    ):
+        root = snapshot_download(repo_id, repo_type="dataset")
+        cls = ImageFileCaptionFileListDataset if cls_image else VideoFileCaptionFileListDataset
+        return cls(root, infinite=infinite)
+    root = snapshot_download(repo_id, repo_type="dataset")
+    cls = ImageCaptionFilePairDataset if cls_image else VideoCaptionFilePairDataset
+    ds = cls(root, infinite=infinite)
+    if len(ds) == 0:
+        raise ValueError(f"Could not detect a supported dataset layout in hub repo {repo_id}")
     return ds
 
 

@@ -342,6 +342,28 @@ def _register_flash_providers():
             return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
         return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
 
+    @_AttentionProviderRegistry.register("sage")
+    @_AttentionProviderRegistry.register("sage_varlen")
+    @_AttentionProviderRegistry.register("_sage_qk_int8_pv_fp16_cuda")
+    @_AttentionProviderRegistry.register("_sage_qk_int8_pv_fp16_triton")
+    @_AttentionProviderRegistry.register("_sage_qk_int8_pv_fp8_cuda")
+    @_AttentionProviderRegistry.register("_sage_qk_int8_pv_fp8_cuda_sm90")
+    def _sage(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+        """INT8-quantized attention (sage parity, reference
+        attention_dispatch.py:1543-1765). Inference-oriented (forward-only);
+        the CUDA backend-variant names all map onto the one Pallas int8 kernel
+        (per-token scales + smooth_k). Causal/masked shapes fall back to the
+        fp path like the reference's unsupported-combination errors."""
+        del dropout_p
+        from .sage_attention import sage_attention
+
+        if attn_mask is not None and kv_lens is None:
+            kv_lens = _kv_lens_from_padding_mask(attn_mask, key.shape[1])
+            attn_mask = None
+        if attn_mask is not None or is_causal:
+            return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+        return sage_attention(query, key, value, kv_lens=kv_lens, scale=scale)
+
     @_AttentionProviderRegistry.register("flash_varlen")
     def _flash_varlen(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
                       q_segment_ids=None, kv_segment_ids=None):

@@ -186,3 +186,44 @@ class TestValidationDataset:
         ds = ValidationDataset(str(path))
         sample = next(iter(ds))
         assert sample["prompt"] == "x"
+
+
+class TestHubStreaming:
+    """Hub branch of initialize_dataset (reference dataset.py:824-1002): layout
+    detection via list_repo_files + snapshot_download, exercised offline by
+    monkeypatching huggingface_hub against a local tree."""
+
+    def _fake_hub(self, monkeypatch, root):
+        import huggingface_hub
+
+        files = [str(p.relative_to(root)) for p in root.rglob("*") if p.is_file()]
+        monkeypatch.setattr(
+            huggingface_hub, "list_repo_files", lambda repo_id, repo_type=None: files
+        )
+        monkeypatch.setattr(
+            huggingface_hub, "snapshot_download",
+            lambda repo_id, repo_type=None, allow_patterns=None: str(root),
+        )
+
+    def test_hub_metadata_folder(self, tmp_path, monkeypatch):
+        _write_mp4(tmp_path / "v.mp4")
+        with open(tmp_path / "metadata.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["file_name", "caption"])
+            w.writeheader()
+            w.writerow({"file_name": "v.mp4", "caption": "a hub video"})
+        self._fake_hub(monkeypatch, tmp_path)
+        ds = initialize_dataset("someorg/somedata", "video")
+        assert isinstance(ds, VideoFolderDataset)
+        assert next(iter(ds))["caption"] == "a hub video"
+
+    def test_hub_caption_pairs(self, tmp_path, monkeypatch):
+        _write_png(tmp_path / "a.png")
+        (tmp_path / "a.txt").write_text("a hub image")
+        self._fake_hub(monkeypatch, tmp_path)
+        ds = initialize_dataset("someorg/pairs", "image")
+        assert isinstance(ds, ImageCaptionFilePairDataset)
+        assert next(iter(ds))["caption"] == "a hub image"
+
+    def test_non_hub_name_raises(self):
+        with pytest.raises(FileNotFoundError):
+            initialize_dataset("definitely not a repo id", "video")

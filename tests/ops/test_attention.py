@@ -225,3 +225,38 @@ class TestFlashVarlen:
         out2 = attention_dispatch(pq, pk, pv, provider="flash_varlen",
                                   q_segment_ids=seg, kv_segment_ids=seg)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+class TestSageInt8:
+    """INT8 QK^T attention (sage parity, reference attention_dispatch.py:1543-1765):
+    quantized output must track the fp32 math reference closely."""
+
+    def test_matches_math_within_quant_tolerance(self):
+        q, k, v = _qkv(b=2, sq=128, skv=128, n=4, h=64)
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        out = attention_dispatch(q, k, v, provider="sage")
+        err = float(jnp.abs(out - ref).max())
+        assert err < 3e-2, err  # int8 quantization noise bound
+
+    def test_kv_lens(self):
+        q, k, v = _qkv(b=2, sq=64, skv=64)
+        lens = jnp.asarray([64, 40])
+        ref = attention_dispatch(q, k, v, kv_lens=lens, provider="_native_math")
+        out = attention_dispatch(q, k, v, kv_lens=lens, provider="sage")
+        assert float(jnp.abs(out - ref).max()) < 3e-2
+
+    def test_smooth_k_invariance(self):
+        """Adding a constant vector to every K must not change the output
+        (softmax shift-invariance — the smooth_k trick relies on it)."""
+        q, k, v = _qkv(b=1, sq=64, skv=64)
+        shift = jnp.full_like(k, 3.0)
+        out1 = attention_dispatch(q, k, v, provider="sage")
+        out2 = attention_dispatch(q, k + shift, v, provider="sage")
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=5e-2)
+
+    def test_all_variant_names_registered(self):
+        providers = list_providers()
+        for name in ("sage", "sage_varlen", "_sage_qk_int8_pv_fp16_cuda",
+                     "_sage_qk_int8_pv_fp16_triton", "_sage_qk_int8_pv_fp8_cuda",
+                     "_sage_qk_int8_pv_fp8_cuda_sm90"):
+            assert name in providers
