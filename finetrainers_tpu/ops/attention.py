@@ -342,6 +342,36 @@ def _register_flash_providers():
             return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
         return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
 
+    @_AttentionProviderRegistry.register("flex")
+    def _flex(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+        """Block-mask attention (reference flex provider,
+        attention_dispatch.py:875-935). torch builds a BlockMask from mask_mod
+        callables; here the boolean tensor mask is reduced to a block occupancy
+        map and the Pallas kernel SKIPS fully-masked tiles in the forward and
+        both backward kernels — block sparsity with exact dense-mask semantics
+        on partial tiles. Head-dependent masks fall back to the XLA fused path."""
+        del dropout_p
+        if attn_mask is None:
+            return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+        mask = attn_mask
+        if mask.dtype != jnp.bool_:
+            mask = mask > -1.0  # additive 0/-inf convention
+        if mask.ndim == 4:
+            if mask.shape[1] != 1:
+                return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+            mask = mask[:, 0]
+        mask = jnp.broadcast_to(mask, (query.shape[0], query.shape[1], key.shape[1]))
+        return flash_attention(
+            query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale, block_mask=mask,
+        )
+
+    # Reference aten/xformers provider names: on TPU they all denote the same
+    # fused/flash execution path (SURVEY §2.5 rows map 1:1 onto XLA/Pallas).
+    _AttentionProviderRegistry.register("_native_cudnn", supports_cp=True)(_auto_attention)
+    _AttentionProviderRegistry.register("_native_efficient", supports_cp=True)(_auto_attention)
+    _AttentionProviderRegistry.register("_native_flash", supports_cp=True)(_auto_attention)
+    _AttentionProviderRegistry.register("xformers")(_xla_attention)
+
     @_AttentionProviderRegistry.register("sage")
     @_AttentionProviderRegistry.register("sage_varlen")
     @_AttentionProviderRegistry.register("_sage_qk_int8_pv_fp16_cuda")

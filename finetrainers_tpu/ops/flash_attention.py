@@ -67,23 +67,30 @@ def _pad_to(x: jax.Array, target: int, axis: int) -> jax.Array:
 
 def _fwd_kernel(
     kv_lens_ref,  # scalar prefetch: (B,) int32
+    blockmap_ref,  # scalar prefetch: (B, nq, nkv) int32 block occupancy (or (1,1,1))
     q_ref,  # (1, 1, bq, H)
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
-    *rest,  # [q_seg_ref (1, bq, 128), kv_seg_ref (1, 8, bkv),] o_ref, lse_ref, scratch x3
+    *rest,  # [q_seg_ref (1, bq, 128), kv_seg_ref (1, 8, bkv),] [mask_ref (1, bq, bkv),]
+    #         o_ref, lse_ref, scratch x3
     scale: float,
     causal: bool,
     has_segments: bool,
+    has_mask: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
     kv_seq_len: int,
 ):
+    rest = list(rest)
+    q_seg_ref = kv_seg_ref = mask_ref = None
     if has_segments:
-        q_seg_ref, kv_seg_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        q_seg_ref = kv_seg_ref = None
-        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        q_seg_ref, kv_seg_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if has_mask:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
@@ -114,6 +121,12 @@ def _fwd_kernel(
             seg_kv = kv_seg_ref[0, :1, :]  # (1, bkv)
             mask = jnp.logical_and(mask, seg_q == seg_kv)
         s = jnp.where(mask, s, _NEG_INF)
+        if mask_ref is not None:
+            # Additive fold of the loaded mask tile: Mosaic cannot relayout i1
+            # vectors derived from loaded data, so avoid boolean ops on it.
+            # Fully-masked rows self-correct in the online-softmax recurrence
+            # (their junk l/acc get rescaled by alpha=0 at the first live block).
+            s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
 
         m_prev = m_scr[:, :1]  # (bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -132,11 +145,16 @@ def _fwd_kernel(
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
+    block_needed = None
     if causal:
         # Skip fully-masked kv blocks (query rows all above the diagonal).
         first_row = qi * block_q + (kv_seq_len - q_seq_len)
         block_needed = kj * block_kv <= first_row + block_q - 1
-
+    if has_mask:
+        # flex block sparsity: skip tiles whose block mask is all-zero.
+        occupied = blockmap_ref[b, qi, kj] > 0
+        block_needed = occupied if block_needed is None else jnp.logical_and(block_needed, occupied)
+    if block_needed is not None:
         @pl.when(block_needed)
         def _():
             _compute()
@@ -163,8 +181,19 @@ def _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad):
     return q_b, kv_b
 
 
-def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv):
-    """q,k,v: (B, N, S, H); q_seg/kv_seg: optional (B, S) int32 — returns (out, lse)."""
+def _prepare_mask(attn_mask, q_pad, kv_pad, block_q, block_kv):
+    """(B, Sq, Skv) bool/int8 -> (padded int8 mask, (B, nq, nkv) int32 blockmap)."""
+    mask = attn_mask.astype(jnp.int8)
+    mask = _pad_to(_pad_to(mask, q_pad, 1), kv_pad, 2)
+    b = mask.shape[0]
+    blocks = mask.reshape(b, q_pad // block_q, block_q, kv_pad // block_kv, block_kv)
+    blockmap = blocks.max(axis=(2, 4)).astype(jnp.int32)
+    return mask, blockmap
+
+
+def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv):
+    """q,k,v: (B, N, S, H); q_seg/kv_seg: optional (B, S) int32; attn_mask:
+    optional (B, Sq, Skv) boolean (flex block-sparse path) — returns (out, lse)."""
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
 
@@ -176,6 +205,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, bloc
     k = _pad_to(k, kv_pad, 2)
     v = _pad_to(v, kv_pad, 2)
     has_segments = q_seg is not None
+    has_mask = attn_mask is not None
 
     grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
 
@@ -184,6 +214,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, bloc
         scale=scale,
         causal=causal,
         has_segments=has_segments,
+        has_mask=has_mask,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -194,7 +225,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, bloc
         pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
         pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
     ]
-    operands = [kv_lens, q, k, v]
+    operands = [q, k, v]
     if has_segments:
         q_seg_b, kv_seg_b = _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad)
         in_specs += [
@@ -202,10 +233,16 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, bloc
             pl.BlockSpec((1, 8, block_kv), lambda b, n, i, j, *_: (b, 0, j)),
         ]
         operands += [q_seg_b, kv_seg_b]
+    if has_mask:
+        mask, blockmap = _prepare_mask(attn_mask, q_pad, kv_pad, block_q, block_kv)
+        in_specs.append(pl.BlockSpec((1, block_q, block_kv), lambda b, n, i, j, *_: (b, i, j)))
+        operands.append(mask)
+    else:
+        blockmap = jnp.ones((1, 1, 1), jnp.int32)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
             out_specs=[
@@ -223,7 +260,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, bloc
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, 8), jnp.float32),
         ],
         interpret=_interpret(),
-    )(*operands)
+    )(kv_lens, blockmap, *operands)
     return out[:, :, :q_len], lse[:, :, :q_len, 0]
 
 
@@ -232,26 +269,32 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, bloc
 
 def _bwd_dkdv_kernel(
     kv_lens_ref,
+    blockmap_ref,
     q_ref,  # (1, 1, bq, H)
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    *rest,  # [q_seg_ref, kv_seg_ref,] dk_ref, dv_ref, dk_scr, dv_scr
+    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] dk_ref, dv_ref, dk_scr, dv_scr
     scale: float,
     causal: bool,
     has_segments: bool,
+    has_mask: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
     kv_seq_len: int,
 ):
+    rest = list(rest)
+    q_seg_ref = kv_seg_ref = mask_ref = None
     if has_segments:
-        q_seg_ref, kv_seg_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
-    else:
-        q_seg_ref = kv_seg_ref = None
-        dk_ref, dv_ref, dk_scr, dv_scr = rest
+        q_seg_ref, kv_seg_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if has_mask:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    dk_ref, dv_ref, dk_scr, dv_scr = rest
     b = pl.program_id(0)
     kj = pl.program_id(2)
     qi = pl.program_id(3)
@@ -282,6 +325,8 @@ def _bwd_dkdv_kernel(
             mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
         if q_seg_ref is not None:
             mask = jnp.logical_and(mask, q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :])
+        if mask_ref is not None:
+            s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (bq, bkv)
 
         # dv += P^T @ dO
@@ -298,10 +343,14 @@ def _bwd_dkdv_kernel(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    block_needed = None
     if causal:
         last_row = (qi + 1) * block_q - 1 + (kv_seq_len - q_seq_len)
         block_needed = kj * block_kv <= last_row
-
+    if has_mask:
+        occupied = blockmap_ref[b, qi, kj] > 0
+        block_needed = occupied if block_needed is None else jnp.logical_and(block_needed, occupied)
+    if block_needed is not None:
         @pl.when(block_needed)
         def _():
             _compute()
@@ -316,26 +365,32 @@ def _bwd_dkdv_kernel(
 
 def _bwd_dq_kernel(
     kv_lens_ref,
+    blockmap_ref,
     q_ref,  # (1, 1, bq, H)
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    *rest,  # [q_seg_ref, kv_seg_ref,] dq_ref, dq_scr
+    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] dq_ref, dq_scr
     scale: float,
     causal: bool,
     has_segments: bool,
+    has_mask: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
     kv_seq_len: int,
 ):
+    rest = list(rest)
+    q_seg_ref = kv_seg_ref = mask_ref = None
     if has_segments:
-        q_seg_ref, kv_seg_ref, dq_ref, dq_scr = rest
-    else:
-        q_seg_ref = kv_seg_ref = None
-        dq_ref, dq_scr = rest
+        q_seg_ref, kv_seg_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if has_mask:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    dq_ref, dq_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
@@ -365,6 +420,8 @@ def _bwd_dq_kernel(
             mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
         if q_seg_ref is not None:
             mask = jnp.logical_and(mask, q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :])
+        if mask_ref is not None:
+            s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -374,10 +431,14 @@ def _bwd_dq_kernel(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    block_needed = None
     if causal:
         first_row = qi * block_q + (kv_seq_len - q_seq_len)
         block_needed = kj * block_kv <= first_row + block_q - 1
-
+    if has_mask:
+        occupied = blockmap_ref[b, qi, kj] > 0
+        block_needed = occupied if block_needed is None else jnp.logical_and(block_needed, occupied)
+    if block_needed is not None:
         @pl.when(block_needed)
         def _():
             _compute()
@@ -389,10 +450,12 @@ def _bwd_dq_kernel(
         dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal, block_q, block_kv):
+def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, scale, causal,
+                    block_q, block_kv):
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
     has_segments = q_seg is not None
+    has_mask = attn_mask is not None
 
     # delta = rowsum(dO * O): cheap elementwise+reduce — let XLA fuse it.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, N, Sq)
@@ -416,6 +479,7 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal
         scale=scale,
         causal=causal,
         has_segments=has_segments,
+        has_mask=has_mask,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -435,11 +499,22 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal
             pl.BlockSpec((1, block_q, 128), lambda b, n, i, j, *_: (b, i, 0)),
             pl.BlockSpec((1, 8, block_kv), lambda b, n, i, j, *_: (b, 0, j)),
         ]
+    if has_mask:
+        mask, blockmap = _prepare_mask(attn_mask, q_pad, kv_pad, block_q, block_kv)
+        seg_operands = seg_operands + [mask]
+        dkdv_seg_specs = dkdv_seg_specs + [
+            pl.BlockSpec((1, block_q, block_kv), lambda b, n, j, i, *_: (b, i, j)),
+        ]
+        dq_seg_specs = dq_seg_specs + [
+            pl.BlockSpec((1, block_q, block_kv), lambda b, n, i, j, *_: (b, i, j)),
+        ]
+    else:
+        blockmap = jnp.ones((1, 1, 1), jnp.int32)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(batch, num_heads, kv_pad // block_kv, q_pad // block_q),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
@@ -463,12 +538,12 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal
             jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), v.dtype),
         ],
         interpret=_interpret(),
-    )(kv_lens, qp, kp, vp, dop, lsep, deltap, *seg_operands)
+    )(kv_lens, blockmap, qp, kp, vp, dop, lsep, deltap, *seg_operands)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(batch, num_heads, q_pad // block_q, kv_pad // block_kv),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
@@ -489,7 +564,7 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
         ],
         interpret=_interpret(),
-    )(kv_lens, qp, kp, vp, dop, lsep, deltap, *seg_operands)[0]
+    )(kv_lens, blockmap, qp, kp, vp, dop, lsep, deltap, *seg_operands)[0]
 
     return dq[:, :, :q_len], dk[:, :, :kv_len], dv[:, :, :kv_len]
 
@@ -497,23 +572,25 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, out, lse, do, scale, causal
 # ----------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _flash_mha(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv):
-    out, _ = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_mha(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv):
+    out, _ = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal,
+                            block_q, block_kv)
     return out
 
 
-def _flash_mha_fwd(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv):
-    out, lse = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, scale, causal, block_q, block_kv)
-    return out, (q, k, v, kv_lens, q_seg, kv_seg, out, lse)
+def _flash_mha_fwd(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv):
+    out, lse = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal,
+                              block_q, block_kv)
+    return out, (q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse)
 
 
 def _flash_mha_bwd(scale, causal, block_q, block_kv, residuals, g):
-    q, k, v, kv_lens, q_seg, kv_seg, out, lse = residuals
+    q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse = residuals
     dq, dk, dv = _flash_backward(
-        q, k, v, kv_lens, q_seg, kv_seg, out, lse, g, scale, causal, block_q, block_kv
+        q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, g, scale, causal, block_q, block_kv
     )
-    return dq, dk, dv, None, None, None
+    return dq, dk, dv, None, None, None, None
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
@@ -530,6 +607,7 @@ def flash_attention(
     block_kv: int = DEFAULT_BLOCK_KV,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    block_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention on BTNH tensors.
 
@@ -539,6 +617,10 @@ def flash_attention(
     batching; tokens attend only within equal ids (ids must be >= 0; use -1 to
     mark padding). Both must be given together. Causal masking composes with
     *global* positions; per-segment causal restarts are not supported (raise).
+    block_mask: optional (B, Sq, Skv) boolean mask (True = attend) — the flex
+    block-sparse path: fully-masked (block_q x block_kv) tiles are skipped in
+    the forward AND both backward kernels (torch flex_attention BlockMask
+    analog); partial tiles apply the mask densely.
     """
     batch, q_len, num_heads, head_dim = query.shape
     kv_len = key.shape[1]
@@ -564,7 +646,7 @@ def flash_attention(
         v = jnp.repeat(v, rep, axis=1)
 
     out = _flash_mha(
-        q, k, v, kv_lens, q_segment_ids, kv_segment_ids,
+        q, k, v, kv_lens, q_segment_ids, kv_segment_ids, block_mask,
         float(scale), bool(causal), int(block_q), int(block_kv),
     )
     return jnp.swapaxes(out, 1, 2)

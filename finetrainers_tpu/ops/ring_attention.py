@@ -56,7 +56,7 @@ def _ring_forward(q, k, v, axis_name: str, scale: float):
     for step in range(cp_size):
         out_i, lse_i = _flash_forward(
             q, k_cur, v_cur, jnp.full((q.shape[0],), k_cur.shape[2], jnp.int32),
-            None, None, scale, False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV,
+            None, None, None, scale, False, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV,
         )
         out_i = out_i.astype(jnp.float32)
         lse_i = lse_i[..., None]  # (B, N, S, 1)
@@ -98,7 +98,7 @@ def _ring_mha_bwd(axis_name: str, scale: float, residuals, g):
     for step in range(cp_size):
         # Per-chunk flash backward with the GLOBAL lse/out: gives exact partials.
         dq_i, dk_i, dv_i = _flash_backward(
-            q, k_cur, v_cur, kv_lens, None, None, out, lse, g, scale, False,
+            q, k_cur, v_cur, kv_lens, None, None, None, out, lse, g, scale, False,
             DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV,
         )
         dq = dq + dq_i.astype(jnp.float32)
