@@ -1,115 +1,250 @@
-"""Standalone inference runner.
+"""Standalone inference runner (reference `examples/inference/inference.py`,
+~850 LoC torch app with grouped args, dataset-file batch inference, parallel
+mesh support, attention-provider selection, and tracker logging).
 
-Parity with reference `examples/inference/inference.py` (~600 LoC standalone
-`Inference` app mirroring the trainer structure, with T2I/T2V/I2V inference
-types). Uses the same ModelSpecification pipelines as validation.
+TPU-native re-architecture: one jitted denoise pipeline per spec; GSPMD mesh
+via MeshEnv (dp for batch fan-out, tp/cp honored by the spec shardings); LoRA
+loaded from peft-convention safetensors; artifacts written per rank and logged
+through the tracker abstraction.
 
-Usage:
-    python examples/inference/inference.py \
-        --model_name ltx_video --pretrained_model_name_or_path Lightricks/LTX-Video \
-        --inference_type t2v --prompt "a cat" --height 512 --width 704 --num_frames 49 \
-        --lora_weights /path/to/lora_weights/000500 --output_dir outputs/
+Usage (single prompt):
+    python examples/inference/inference.py --model_name ltx_video \
+        --pretrained_model_name_or_path /ckpts/ltx --inference_type t2v \
+        --prompt "a cat" --num_frames 49 --height 512 --width 768
+
+Batch (reference --dataset_file): CSV/JSON/JSONL/parquet rows with
+prompt/image_path/... columns, same schema as the trainer's validation set.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import pathlib
-import sys
-
-
-REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
-sys.path.insert(0, str(REPO_ROOT))
+import time
 
 
 class InferenceType:
-    T2I = "t2i"
-    T2V = "t2v"
-    I2V = "i2v"
+    T2V = "text_to_video"
+    T2I = "text_to_image"
+    I2V = "image_to_video"
+    CHOICES = (T2V, T2I, I2V)
 
 
 def parse_args(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--model_name", type=str, required=True)
-    parser.add_argument("--pretrained_model_name_or_path", type=str, required=True)
-    parser.add_argument("--inference_type", type=str, default=InferenceType.T2V,
-                        choices=[InferenceType.T2I, InferenceType.T2V, InferenceType.I2V])
-    parser.add_argument("--prompt", type=str, required=True)
-    parser.add_argument("--negative_prompt", type=str, default=None)
-    parser.add_argument("--image_path", type=str, default=None)
-    parser.add_argument("--height", type=int, default=512)
-    parser.add_argument("--width", type=int, default=704)
-    parser.add_argument("--num_frames", type=int, default=49)
-    parser.add_argument("--num_inference_steps", type=int, default=50)
-    parser.add_argument("--guidance_scale", type=float, default=5.0)
-    parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--lora_weights", type=str, default=None)
-    parser.add_argument("--transformer_dtype", type=str, default="bf16")
-    parser.add_argument("--attn_provider", type=str, default=None)
-    parser.add_argument("--output_dir", type=str, default="outputs")
+    parser = argparse.ArgumentParser(description=__doc__)
+    # ----------------------------------------------------------- model args
+    g = parser.add_argument_group("model")
+    g.add_argument("--model_name", type=str, required=True)
+    g.add_argument("--pretrained_model_name_or_path", type=str, required=True)
+    g.add_argument("--revision", type=str, default=None)
+    g.add_argument("--cache_dir", type=str, default=None)
+    for comp in ("tokenizer", "tokenizer_2", "tokenizer_3", "text_encoder",
+                 "text_encoder_2", "text_encoder_3", "transformer", "vae"):
+        g.add_argument(f"--{comp}_id", type=str, default=None)
+    for comp in ("text_encoder", "text_encoder_2", "text_encoder_3", "transformer", "vae"):
+        g.add_argument(f"--{comp}_dtype", type=str, default="bf16",
+                       choices=["fp32", "fp16", "bf16"])
+    g.add_argument("--enable_slicing", action="store_true")
+    g.add_argument("--enable_tiling", action="store_true")
+    g.add_argument("--lora_weights", type=str, default=None,
+                   help="Directory or safetensors file of exported LoRA weights")
+    g.add_argument("--lora_scale", type=float, default=1.0)
+    # ------------------------------------------------------- inference args
+    g = parser.add_argument_group("inference")
+    g.add_argument("--inference_type", type=str, default=InferenceType.T2V,
+                   choices=list(InferenceType.CHOICES))
+    g.add_argument("--dataset_file", type=str, default=None,
+                   help="CSV/JSON/JSONL/parquet of generation requests (reference --dataset_file)")
+    g.add_argument("--prompt", type=str, default=None)
+    g.add_argument("--negative_prompt", type=str, default=None)
+    g.add_argument("--image_path", type=str, default=None)
+    g.add_argument("--height", type=int, default=512)
+    g.add_argument("--width", type=int, default=704)
+    g.add_argument("--num_frames", type=int, default=49)
+    g.add_argument("--frame_rate", type=int, default=25)
+    g.add_argument("--num_inference_steps", type=int, default=50)
+    g.add_argument("--guidance_scale", type=float, default=5.0)
+    g.add_argument("--num_videos_per_prompt", type=int, default=1)
+    # ------------------------------------------------------- parallel args
+    g = parser.add_argument_group("parallel")
+    g.add_argument("--parallel_backend", type=str, default="ptd", choices=["accelerate", "ptd"])
+    g.add_argument("--pp_degree", type=int, default=1)
+    g.add_argument("--dp_degree", type=int, default=1)
+    g.add_argument("--dp_shards", type=int, default=1)
+    g.add_argument("--cp_degree", type=int, default=1)
+    g.add_argument("--tp_degree", type=int, default=1)
+    # ------------------------------------------------ attention provider etc.
+    g = parser.add_argument_group("attention")
+    g.add_argument("--attn_provider", type=str, default=None,
+                   help="Attention provider for the denoise loop (sage int8, flash, ...)")
+    # ------------------------------------------------------------ misc args
+    g = parser.add_argument_group("misc")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--output_dir", type=str, default="finetrainers-inference")
+    g.add_argument("--tracker_name", type=str, default="finetrainers-inference")
+    g.add_argument("--report_to", type=str, default="none", choices=["none", "wandb", "jsonl"])
+    g.add_argument("--verbose", type=int, default=0, choices=[0, 1, 2, 3])
     return parser.parse_args(argv)
+
+
+_DTYPES = {"fp32": "float32", "fp16": "float16", "bf16": "bfloat16"}
+
+
+class Inference:
+    """Mirrors the reference Inference runner lifecycle: init distributed ->
+    load models -> (LoRA) -> build pipeline -> iterate requests -> artifacts."""
+
+    def __init__(self, args):
+        import jax.numpy as jnp
+
+        from finetrainers_tpu.config import _get_model_specifiction_cls
+        from finetrainers_tpu.logging import get_logger, set_dependency_log_level
+        from finetrainers_tpu.parallel import MeshEnv, ParallelDims
+        from finetrainers_tpu.trackers import initialize_trackers
+
+        self.args = args
+        self.logger = get_logger("inference")
+        set_dependency_log_level(args.verbose)
+
+        dims = ParallelDims(
+            dp_replicate=args.dp_degree, dp_shard=args.dp_shards,
+            cp=args.cp_degree, tp=args.tp_degree, pp=args.pp_degree,
+        )
+        self.mesh_env = MeshEnv(dims)
+
+        spec_cls = _get_model_specifiction_cls(args.model_name, "lora")
+        dt = lambda name: getattr(jnp, _DTYPES[getattr(args, f"{name}_dtype")])
+        self.spec = spec_cls(
+            pretrained_model_name_or_path=args.pretrained_model_name_or_path,
+            tokenizer_id=args.tokenizer_id, tokenizer_2_id=args.tokenizer_2_id,
+            tokenizer_3_id=args.tokenizer_3_id,
+            text_encoder_id=args.text_encoder_id, text_encoder_2_id=args.text_encoder_2_id,
+            text_encoder_3_id=args.text_encoder_3_id,
+            transformer_id=args.transformer_id, vae_id=args.vae_id,
+            text_encoder_dtype=dt("text_encoder"), text_encoder_2_dtype=dt("text_encoder_2"),
+            text_encoder_3_dtype=dt("text_encoder_3"),
+            transformer_dtype=dt("transformer"), vae_dtype=dt("vae"),
+            revision=args.revision, cache_dir=args.cache_dir,
+        )
+        self.tracker = initialize_trackers(
+            args.report_to, args.tracker_name,
+            log_dir=os.path.join(args.output_dir, "logs"),
+            is_main_process=self.mesh_env.is_main_process,
+        )
+
+    # ------------------------------------------------------------- loading
+    def prepare_models(self):
+        args = self.args
+        transformer = self.spec.load_diffusion_models()["transformer"]
+        if args.lora_weights:
+            from finetrainers_tpu.lora import apply_lora_to_module_params, load_lora_weights
+
+            state, config = load_lora_weights(args.lora_weights)
+            if args.lora_scale != 1.0:
+                # peft lora_scale folds into the B factors
+                state = {
+                    k: v * args.lora_scale if ".lora_B." in k or k.endswith("lora_b") else v
+                    for k, v in state.items()
+                }
+            params = apply_lora_to_module_params(
+                transformer.params, transformer.module, state,
+                key_map=self.spec.transformer_key_map,
+            )
+            transformer = type(transformer)(transformer.module, params, transformer.config)
+            self.logger.info(f"Loaded LoRA from {args.lora_weights} ({len(state)} tensors)")
+        vae = self.spec.load_latent_models()["vae"]
+        if args.enable_slicing:
+            vae.enable_slicing()
+        if args.enable_tiling:
+            vae.enable_tiling()
+        self.pipeline = self.spec.load_pipeline(transformer=transformer, vae=vae)
+
+    # ------------------------------------------------------------- requests
+    def _requests(self):
+        args = self.args
+        if args.dataset_file:
+            from finetrainers_tpu.data import ValidationDataset
+
+            for i, sample in enumerate(ValidationDataset(args.dataset_file)):
+                yield i, {k: v for k, v in sample.items() if v is not None}
+            return
+        if args.prompt is None:
+            raise ValueError("Provide --prompt or --dataset_file")
+        request = dict(prompt=args.prompt)
+        if args.negative_prompt:
+            request["negative_prompt"] = args.negative_prompt
+        if args.image_path:
+            from finetrainers_tpu.data.utils import load_image
+
+            request["image"] = load_image(args.image_path, to_float=False)
+        yield 0, request
+
+    # ------------------------------------------------------------------ run
+    def run(self):
+        import contextlib
+
+        import jax
+
+        from finetrainers_tpu.data.utils import save_image, save_video
+        from finetrainers_tpu.ops import attention_provider
+
+        args = self.args
+        self.prepare_models()
+        out_dir = pathlib.Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        defaults = dict(
+            height=args.height, width=args.width,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, seed=args.seed,
+        )
+        if args.inference_type != InferenceType.T2I:
+            defaults.update(num_frames=args.num_frames, frame_rate=args.frame_rate)
+
+        ctx = attention_provider(args.attn_provider) if args.attn_provider else contextlib.nullcontext()
+        artifacts = []
+        with ctx:
+            for i, request in enumerate(self._requests()):
+                idx, sample = request
+                if jax.process_count() > 1 and idx % jax.process_count() != jax.process_index():
+                    continue
+                if args.inference_type == InferenceType.I2V and "image" not in sample:
+                    raise ValueError("image_to_video requests need image/--image_path")
+                kwargs = {**defaults, **sample}
+                for rep in range(max(args.num_videos_per_prompt, 1)):
+                    kwargs["seed"] = args.seed + rep
+                    t0 = time.perf_counter()
+                    output = self.pipeline(**kwargs)
+                    elapsed = time.perf_counter() - t0
+                    stem = f"output-{jax.process_index()}-{idx:04d}-{rep}"
+                    if output.ndim == 4:  # (F, H, W, 3) video
+                        path = out_dir / f"{stem}.mp4"
+                        save_video(output, str(path))
+                        kind = "video"
+                    else:
+                        path = out_dir / f"{stem}.png"
+                        save_image(output, str(path))
+                        kind = "image"
+                    artifacts.append({"type": kind, "path": str(path),
+                                      "caption": sample.get("prompt")})
+                    self.logger.info(f"[{idx}:{rep}] {kind} in {elapsed:.1f}s -> {path}")
+                    self.tracker.log({"inference/seconds": elapsed}, step=len(artifacts))
+        self.tracker.log_artifacts(artifacts, step=len(artifacts))
+        self.tracker.finish()
+        manifest = out_dir / f"manifest-{os.getpid()}.json"
+        manifest.write_text(json.dumps(artifacts, indent=2))
+        return [a["path"] for a in artifacts]
 
 
 def main(argv=None):
     args = parse_args(argv)
-
-    from finetrainers_tpu.config import _get_model_specifiction_cls
-    from finetrainers_tpu.data.utils import save_image, save_video
-    from finetrainers_tpu.lora import apply_lora_state_dict, load_lora_weights
-    from finetrainers_tpu.models.weight_utils import lora_peft_to_flax
-    from finetrainers_tpu.ops import attention_provider
-
-    spec_cls = _get_model_specifiction_cls(args.model_name, "lora")
-    spec = spec_cls(pretrained_model_name_or_path=args.pretrained_model_name_or_path)
-
-    diffusion = spec.load_diffusion_models()
-    transformer = diffusion["transformer"]
-
-    if args.lora_weights:
-        state, config = load_lora_weights(args.lora_weights)
-        if any(".lora_A." in k for k in state):
-            state = lora_peft_to_flax(state)
-        transformer.params = apply_lora_state_dict(transformer.params, state)
-        print(f"Loaded LoRA weights from {args.lora_weights} ({len(state)} tensors)")
-
-    pipeline = spec.load_pipeline(transformer=transformer)
-
-    image = None
-    if args.inference_type == InferenceType.I2V:
-        if args.image_path is None:
-            raise ValueError("--image_path is required for i2v inference")
-        from finetrainers_tpu.data.utils import load_image
-
-        image = load_image(args.image_path, to_float=False)
-
-    kwargs = dict(
-        prompt=args.prompt, negative_prompt=args.negative_prompt,
-        height=args.height, width=args.width,
-        num_inference_steps=args.num_inference_steps,
-        guidance_scale=args.guidance_scale, seed=args.seed,
-    )
-    if args.inference_type != InferenceType.T2I:
-        kwargs["num_frames"] = args.num_frames
-    if image is not None:
-        kwargs["image"] = image
-
-    ctx = attention_provider(args.attn_provider) if args.attn_provider else None
-    if ctx is not None:
-        with ctx:
-            output = pipeline(**kwargs)
-    else:
-        output = pipeline(**kwargs)
-
-    os.makedirs(args.output_dir, exist_ok=True)
-    if output.ndim == 4:  # video (F, H, W, 3)
-        path = os.path.join(args.output_dir, "output.mp4")
-        save_video(output, path)
-    else:  # image (H, W, 3)
-        path = os.path.join(args.output_dir, "output.png")
-        save_image(output, path)
-    print(f"Saved output to {path}")
-    return path
+    runner = Inference(args)
+    paths = runner.run()
+    if paths:
+        print(f"Saved {len(paths)} outputs under {args.output_dir}")
+    return paths
 
 
 if __name__ == "__main__":
