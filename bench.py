@@ -170,6 +170,13 @@ def main() -> None:
     remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.35, None: 0.0}[checkpoint]
     flops = ltx_train_step_flops(cfg, LORA_RANK, remat_factor)
     tflops = flops * steps_per_sec / 1e12
+    # Peak HBM (BASELINE.md's memory-floor counterpart; reference README:95-109
+    # publishes min-VRAM floors for the same LoRA conditions).
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2) or None
+    except Exception:
+        peak_hbm_gb = None
     print(json.dumps({
         "metric": "train_step_throughput_ltx_video_lora_49x512x768",
         "value": round(steps_per_sec, 5),
@@ -177,6 +184,7 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 5),
         "model_tflops_per_sec": round(tflops, 2),
         "mfu_vs_v5e_peak": round(tflops * 1e12 / V5E_PEAK_FLOPS, 4),
+        "peak_hbm_gb": peak_hbm_gb,
         "remat": checkpoint or "none",
     }))
 

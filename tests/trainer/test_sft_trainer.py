@@ -99,6 +99,30 @@ class TestSFTTrainer:
         assert all((".lora_A.weight" in k or ".lora_B.weight" in k) for k in state)
         assert len(state) > 0
 
+    def test_lora_export_loads_in_torch(self, tmp_path, tiny_dataset):
+        """The exported safetensors must be loadable by torch tooling with
+        peft-shaped tensors (lora_A: (r, in), lora_B: (out, r)) — the artifact
+        the reference ecosystem consumes (diffusers load_lora_weights)."""
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8"],
+            train_steps=4,
+        )
+        import safetensors.torch
+
+        path = tmp_path / "lora_weights" / "000004" / "pytorch_lora_weights.safetensors"
+        state = safetensors.torch.load_file(str(path))
+        assert state, "no tensors in export"
+        for key, tensor in state.items():
+            assert tensor.ndim == 2, (key, tensor.shape)
+            if ".lora_A.weight" in key:
+                assert tensor.shape[0] == 4, (key, tensor.shape)  # (r, in)
+            elif ".lora_B.weight" in key:
+                assert tensor.shape[1] == 4, (key, tensor.shape)  # (out, r)
+        meta = safetensors.safe_open(str(path), framework="pt").metadata()
+        assert "lora_config" in meta
+
     def test_full_finetune_hsdp(self, tmp_path, tiny_dataset):
         _run_training(
             tmp_path, tiny_dataset,
