@@ -22,9 +22,9 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 import numpy as np
 
 from .. import constants
-from ..functional.image import resize_to_nearest_bucket_image
+from ..functional.image import resize_crop_image, resize_to_nearest_bucket_image
 from ..functional.text import convert_byte_str_to_str, remove_prefix
-from ..functional.video import resize_to_nearest_bucket_video
+from ..functional.video import resize_crop_video, resize_to_nearest_bucket_video
 from ..logging import get_logger
 from .utils import load_image, load_video
 
@@ -308,6 +308,7 @@ class IterableDatasetPreprocessingWrapper:
         video_resolution_buckets: Optional[List[Tuple[int, int, int]]] = None,
         reshape_mode: str = "bicubic",
         remove_common_llm_caption_prefixes: bool = False,
+        rename_columns: Optional[Dict[str, str]] = None,
         **kwargs,
     ) -> None:
         self.dataset = dataset
@@ -317,6 +318,7 @@ class IterableDatasetPreprocessingWrapper:
         self.video_resolution_buckets = video_resolution_buckets
         self.reshape_mode = reshape_mode
         self.remove_common_llm_caption_prefixes = remove_common_llm_caption_prefixes
+        self.rename_columns = rename_columns or {}
         self._precomputable_once = getattr(dataset, "_precomputable_once", False)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -326,6 +328,8 @@ class IterableDatasetPreprocessingWrapper:
                 yield out
 
     def _process(self, sample: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        if self.rename_columns:
+            sample = {self.rename_columns.get(k, k): v for k, v in sample.items()}
         caption = sample.get("caption", "")
         if self.remove_common_llm_caption_prefixes:
             caption = remove_prefix(caption, constants.COMMON_LLM_START_PHRASES)
@@ -339,6 +343,14 @@ class IterableDatasetPreprocessingWrapper:
                 if self.image_resolution_buckets:
                     image = resize_to_nearest_bucket_image(image, self.image_resolution_buckets, self.reshape_mode)
                 out["image"] = np.ascontiguousarray(image)
+                # Paired control column (e.g. OmniEdit src_img renamed to
+                # control_image): decode + pin to the target's bucket so the
+                # control trainer sees shape-matched pairs.
+                if "control_image" in sample or "control_image_bytes" in sample:
+                    ctrl = self._decode_image(sample, "control_image")
+                    out["control_image"] = np.ascontiguousarray(
+                        resize_crop_image(ctrl, image.shape[-2:])
+                    )
             else:
                 video = self._decode_video(sample)
                 if self.video_resolution_buckets:
@@ -348,30 +360,34 @@ class IterableDatasetPreprocessingWrapper:
                     if first_frame_only:
                         video = video[:1]
                 out["video"] = np.ascontiguousarray(video)
+                if "control_video" in sample or "control_video_bytes" in sample:
+                    ctrl = self._decode_video(sample, "control_video")
+                    ctrl = resize_crop_video(ctrl, video.shape[-2:])
+                    out["control_video"] = np.ascontiguousarray(ctrl[: video.shape[0]])
         except (FileNotFoundError, ValueError) as e:
             logger.warning(f"Skipping sample: {e}")
             return None
         return out
 
-    def _decode_image(self, sample) -> np.ndarray:
-        if "image_bytes" in sample:
+    def _decode_image(self, sample, key: str = "image") -> np.ndarray:
+        if f"{key}_bytes" in sample:
             import cv2
 
-            buf = np.frombuffer(sample["image_bytes"], np.uint8)
+            buf = np.frombuffer(sample[f"{key}_bytes"], np.uint8)
             img = cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
             return np.moveaxis(img.astype(np.float32) / 127.5 - 1.0, -1, 0)
-        value = sample["image"]
+        value = sample[key]
         return value if isinstance(value, np.ndarray) else load_image(value)
 
-    def _decode_video(self, sample) -> np.ndarray:
-        if "video_bytes" in sample:
+    def _decode_video(self, sample, key: str = "video") -> np.ndarray:
+        if f"{key}_bytes" in sample:
             import tempfile
 
-            with tempfile.NamedTemporaryFile(suffix="." + sample.get("video_ext", "mp4")) as f:
-                f.write(sample["video_bytes"])
+            with tempfile.NamedTemporaryFile(suffix="." + sample.get(f"{key}_ext", "mp4")) as f:
+                f.write(sample[f"{key}_bytes"])
                 f.flush()
                 return load_video(f.name)
-        value = sample["video"]
+        value = sample[key]
         return value if isinstance(value, np.ndarray) else load_video(value)
 
     def state_dict(self):

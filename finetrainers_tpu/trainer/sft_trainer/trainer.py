@@ -266,7 +266,10 @@ class SFTTrainer(Trainer):
         for entry in config["datasets"]:
             root = entry.get("data_root") or entry.get("dataset_file")
             dataset_type = entry.get("dataset_type", "video")
-            ds = initialize_dataset(root, dataset_type, infinite=True)
+            ds = initialize_dataset(
+                root, dataset_type, infinite=True,
+                caption_options=entry.get("caption_options"),
+            )
             wrapped = wrap_iterable_dataset_for_preprocessing(
                 ds,
                 dataset_type,
@@ -276,6 +279,7 @@ class SFTTrainer(Trainer):
                     "video_resolution_buckets": [tuple(b) for b in entry.get("video_resolution_buckets", []) or []] or None,
                     "reshape_mode": entry.get("reshape_mode", "bicubic"),
                     "remove_common_llm_caption_prefixes": entry.get("remove_common_llm_caption_prefixes", False),
+                    "rename_columns": entry.get("rename_columns"),
                 },
             )
             datasets.append(wrapped)

@@ -141,6 +141,29 @@ class TestPreprocessingWrapper:
         # bicubic interpolation overshoots slightly (reference behavior: no clamp)
         assert -1.6 <= sample["image"].min() and sample["image"].max() <= 1.6
 
+    def test_rename_columns_and_control_passthrough(self):
+        """OmniEdit-style paired control data: rename_columns maps the source
+        column onto control_image, and the wrapper decodes + shape-matches it
+        (reference dataset.py rename_column handling in the hub branch)."""
+
+        class FakeDS:
+            def __iter__(self):
+                yield {
+                    "caption": "edit it",
+                    "image": np.zeros((3, 100, 100), np.float32),
+                    "src_img": np.zeros((3, 50, 80), np.float32),
+                }
+
+        wrapped = wrap_iterable_dataset_for_preprocessing(
+            FakeDS(), "image",
+            {"image_resolution_buckets": [(32, 32)],
+             "rename_columns": {"src_img": "control_image"}},
+        )
+        sample = next(iter(wrapped))
+        assert sample["image"].shape == (3, 32, 32)
+        assert sample["control_image"].shape == (3, 32, 32)
+        assert "src_img" not in sample
+
     def test_video_bucketing(self, tmp_path):
         _write_mp4(tmp_path / "v.mp4", frames=8, h=64, w=64)
         (tmp_path / "v.txt").write_text("clip")

@@ -23,6 +23,10 @@ def main(argv=None):
     args = BaseArgs()
     args.register_args(AttentionProviderArgs())
 
+    if "--list_models" in argv:
+        args.parse_args(argv)  # prints the registry and exits
+        return None
+
     if training_type in (TrainingType.LORA, "lora"):
         from finetrainers_tpu.trainer.sft_trainer import SFTLowRankConfig
 
