@@ -10,6 +10,19 @@ import sys
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
 
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-registered another
+    # platform default (e.g. a TPU tunnel): lets the documented CPU dry run
+    # (JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count=N) work.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from finetrainers_tpu.args import AttentionProviderArgs, BaseArgs
     from finetrainers_tpu.config import TrainingType, _get_model_specifiction_cls
     from finetrainers_tpu.logging import get_logger, set_dependency_log_level
