@@ -140,6 +140,18 @@ class TestSFTTrainer:
         ckpts = sorted(os.listdir(tmp_path / "checkpoints"))
         assert "finetrainers_step_9" in ckpts
 
+    def test_prefetch_workers_and_resume(self, tmp_path, tiny_dataset):
+        """--dataloader_num_workers > 0 activates grain-style device prefetch;
+        checkpoints must carry the consumed (not produced-ahead) loader state so
+        resume lands on the right sample."""
+        args = ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+                "--batch_size", "1", "--dp_shards", "8",
+                "--dataloader_num_workers", "1"]
+        _run_training(tmp_path, tiny_dataset, args, train_steps=6)
+        _run_training(tmp_path, tiny_dataset, args + ["--resume_from_checkpoint", "latest"], train_steps=9)
+        ckpts = sorted(os.listdir(tmp_path / "checkpoints"))
+        assert "finetrainers_step_9" in ckpts
+
     def test_validation_artifacts(self, tmp_path, tiny_dataset):
         _run_training(
             tmp_path, tiny_dataset,
