@@ -22,7 +22,24 @@ import argparse
 import json
 import os
 import pathlib
+import sys
 import time
+
+# Allow running straight from a checkout (`python examples/inference/inference.py`)
+# without `pip install -e .`.
+_REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[2])
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+# Honor JAX_PLATFORMS even under a sitecustomize that pins another platform
+# (same escape hatch as train.py, for CPU dry runs).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 
 class InferenceType:
@@ -108,8 +125,15 @@ class Inference:
         self.logger = get_logger("inference")
         set_dependency_log_level(args.verbose)
 
+        import jax
+
+        dp_degree = args.dp_degree
+        if (dp_degree, args.dp_shards, args.cp_degree, args.tp_degree) == (1, 1, 1, 1):
+            # No layout requested: fan requests out data-parallel over every
+            # visible device (the mesh requires degrees to cover all devices).
+            dp_degree = jax.device_count()
         dims = ParallelDims(
-            dp_replicate=args.dp_degree, dp_shard=args.dp_shards,
+            dp_replicate=dp_degree, dp_shard=args.dp_shards,
             cp=args.cp_degree, tp=args.tp_degree, pp=args.pp_degree,
         )
         self.mesh_env = MeshEnv(dims)
@@ -137,11 +161,19 @@ class Inference:
     # ------------------------------------------------------------- loading
     def prepare_models(self):
         args = self.args
-        transformer = self.spec.load_diffusion_models()["transformer"]
         if args.lora_weights:
             from finetrainers_tpu.lora import apply_lora_to_module_params, load_lora_weights
 
             state, config = load_lora_weights(args.lora_weights)
+            # The base graph needs LoRA leaves of the adapter's rank before the
+            # state dict can be inserted (reference analog: peft injects adapter
+            # layers on load).
+            rank = int(config.get("r", 0) or 0)
+            if rank and getattr(self.spec, "lora_rank", 0) != rank:
+                self.spec.lora_rank = rank
+                self.spec.lora_alpha = float(config.get("lora_alpha", rank))
+        transformer = self.spec.load_diffusion_models()["transformer"]
+        if args.lora_weights:
             if args.lora_scale != 1.0:
                 # peft lora_scale folds into the B factors
                 state = {
