@@ -68,6 +68,12 @@ def parse_args(argv=None):
     g.add_argument("--lora_weights", type=str, default=None,
                    help="Directory or safetensors file of exported LoRA weights")
     g.add_argument("--lora_scale", type=float, default=1.0)
+    g.add_argument("--training_type", type=str, default="lora",
+                   choices=["lora", "full-finetune", "control-lora", "control-full-finetune"],
+                   help="Spec flavor the weights were trained with; control-* widens "
+                        "the patch embed and conditions on --control_image_path")
+    g.add_argument("--frame_conditioning_concatenate_mask", action="store_true",
+                   help="Control checkpoints trained with the concatenated mask channel")
     # ------------------------------------------------------- inference args
     g = parser.add_argument_group("inference")
     g.add_argument("--inference_type", type=str, default=InferenceType.T2V,
@@ -77,6 +83,8 @@ def parse_args(argv=None):
     g.add_argument("--prompt", type=str, default=None)
     g.add_argument("--negative_prompt", type=str, default=None)
     g.add_argument("--image_path", type=str, default=None)
+    g.add_argument("--control_image_path", type=str, default=None)
+    g.add_argument("--control_video_path", type=str, default=None)
     g.add_argument("--height", type=int, default=512)
     g.add_argument("--width", type=int, default=704)
     g.add_argument("--num_frames", type=int, default=49)
@@ -138,7 +146,7 @@ class Inference:
         )
         self.mesh_env = MeshEnv(dims)
 
-        spec_cls = _get_model_specifiction_cls(args.model_name, "lora")
+        spec_cls = _get_model_specifiction_cls(args.model_name, args.training_type)
         dt = lambda name: getattr(jnp, _DTYPES[getattr(args, f"{name}_dtype")])
         self.spec = spec_cls(
             pretrained_model_name_or_path=args.pretrained_model_name_or_path,
@@ -172,8 +180,17 @@ class Inference:
             if rank and getattr(self.spec, "lora_rank", 0) != rank:
                 self.spec.lora_rank = rank
                 self.spec.lora_alpha = float(config.get("lora_alpha", rank))
-        transformer = self.spec.load_diffusion_models()["transformer"]
+        if args.training_type.startswith("control"):
+            # Control checkpoints widen the patch-embed input channels to accept
+            # channel-concatenated control latents (3x base with the mask channel).
+            base_in = self.spec.transformer_config["in_channels"]
+            new_in = base_in * (3 if args.frame_conditioning_concatenate_mask else 2)
+            transformer = self.spec.load_diffusion_models(new_in_features=new_in)["transformer"]
+        else:
+            transformer = self.spec.load_diffusion_models()["transformer"]
         if args.lora_weights:
+            from finetrainers_tpu.lora import apply_auxiliary_weights
+
             if args.lora_scale != 1.0:
                 # peft lora_scale folds into the B factors
                 state = {
@@ -183,6 +200,12 @@ class Inference:
             params = apply_lora_to_module_params(
                 transformer.params, transformer.module, state,
                 key_map=self.spec.transformer_key_map,
+            )
+            lora_dir = args.lora_weights
+            if not os.path.isdir(lora_dir):
+                lora_dir = os.path.dirname(lora_dir)
+            params = apply_auxiliary_weights(
+                params, os.path.join(lora_dir, "control_aux_weights.safetensors")
             )
             transformer = type(transformer)(transformer.module, params, transformer.config)
             self.logger.info(f"Loaded LoRA from {args.lora_weights} ({len(state)} tensors)")
@@ -211,6 +234,14 @@ class Inference:
             from finetrainers_tpu.data.utils import load_image
 
             request["image"] = load_image(args.image_path, to_float=False)
+        if args.control_image_path:
+            from finetrainers_tpu.data.utils import load_image
+
+            request["control_image"] = load_image(args.control_image_path, to_float=False)
+        if args.control_video_path:
+            from finetrainers_tpu.data.utils import load_video
+
+            request["control_video"] = load_video(args.control_video_path, to_float=False)
         yield 0, request
 
     # ------------------------------------------------------------------ run

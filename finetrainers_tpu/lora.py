@@ -95,6 +95,21 @@ def load_lora_weights(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]
     return state, config
 
 
+def apply_auxiliary_weights(params, aux_path: str):
+    """Overlay non-LoRA trained leaves exported next to an adapter (control
+    qk-norm + full-rank injection weights, `control_aux_weights.safetensors`)
+    onto a param tree by flat path. No-op if the file does not exist."""
+    if not os.path.exists(aux_path):
+        return params
+    aux = safetensors_load_dict(aux_path)
+    flat = flatten_params(params)
+    for key, value in aux.items():
+        if key not in flat:
+            raise KeyError(f"Auxiliary weight {key!r} not found in target params")
+        flat[key] = np.asarray(value).astype(np.asarray(flat[key]).dtype)
+    return unflatten_params(flat)
+
+
 def apply_lora_state_dict(params, state_dict: Dict[str, np.ndarray]):
     """Insert loaded LoRA leaves back into a param pytree by path."""
     flat = flatten_params(params)

@@ -109,3 +109,21 @@ class CogView4ControlModelSpecification(ControlModelSpecification, CogView4Model
         )
         target = flow_match_target(noise, latents)
         return pred, target, sigmas
+
+    # ------------------------------------------------------------- validation
+    def validation(self, pipeline, prompt: str, control_image=None, control_video=None,
+                   height: int = 1024, width: int = 1024,
+                   num_inference_steps: int = 50, **kwargs) -> list:
+        """Control-conditioned sampling: the pipeline channel-concats the VAE
+        posterior mode of the control image each denoise step (reference control
+        inference via control_channel_concat hook,
+        patches/dependencies/diffusers/control.py:12-36)."""
+        import numpy as np
+
+        from ...data._artifact import ImageArtifact
+
+        if control_image is None and control_video is not None:
+            control_image = np.asarray(control_video)[0]
+        image = pipeline(prompt=prompt, control_image=control_image, height=height,
+                         width=width, num_inference_steps=num_inference_steps)
+        return [ImageArtifact(value=image)]

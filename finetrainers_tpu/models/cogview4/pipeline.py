@@ -25,6 +25,7 @@ class CogView4Pipeline:
         self,
         prompt: str,
         negative_prompt: Optional[str] = None,
+        control_image: Optional[np.ndarray] = None,
         height: int = 1024,
         width: int = 1024,
         num_inference_steps: int = 50,
@@ -36,6 +37,22 @@ class CogView4Pipeline:
         sr = self.vae.config["spatial_compression_ratio"]
         latent_h, latent_w = height // sr, width // sr
         latent_ch = self.vae.config["latent_channels"]
+
+        # Channel-concat control conditioning (control-trained checkpoints only:
+        # the transformer's patch embed must have been widened to 2x channels).
+        # Mirrors the training path: VAE posterior mode of the control image
+        # (control_specification.py forward).
+        control_latents = None
+        if control_image is not None:
+            from ...functional.image import resize_crop_image
+            from ..autoencoders import encode_media
+
+            img = np.asarray(control_image)
+            if img.dtype == np.uint8:
+                img = np.moveaxis(img.astype(np.float32) / 127.5 - 1.0, -1, 0)
+            img = resize_crop_image(img, (height, width))
+            moments = encode_media(self.vae, jnp.asarray(img)[None, :, None])[:, :, 0]
+            control_latents = jnp.split(moments, 2, axis=1)[0].astype(jnp.float32)
 
         conds = spec.prepare_conditions(caption=prompt, text_encoder=self.text_encoder)
         ehs = jnp.asarray(conds["encoder_hidden_states"])
@@ -59,6 +76,9 @@ class CogView4Pipeline:
         @jax.jit
         def denoise_step(latents, sigma, sigma_next):
             model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
+            if control_latents is not None:
+                ctrl = jnp.concatenate([control_latents] * 2) if do_cfg else control_latents
+                model_in = jnp.concatenate([model_in, ctrl], axis=1)
             timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
             pred = self.transformer.module.apply(
                 {"params": self.transformer.params},

@@ -126,3 +126,18 @@ class WanControlModelSpecification(ControlModelSpecification, WanModelSpecificat
         )
         target = flow_match_target(noise, latents)
         return pred, target, sigmas
+
+    # ------------------------------------------------------------- validation
+    def validation(self, pipeline, prompt: str, control_image=None, control_video=None,
+                   height: int = 480, width: int = 832, num_frames: int = 81,
+                   num_inference_steps: int = 50, **kwargs) -> list:
+        """Control-conditioned sampling: the pipeline channel-concats the VAE
+        posterior mode of the (frame-conditioned) control video each denoise
+        step (reference control inference via control_channel_concat hook,
+        patches/dependencies/diffusers/control.py:12-36)."""
+        from ...data._artifact import VideoArtifact
+
+        video = pipeline(prompt=prompt, control_image=control_image,
+                         control_video=control_video, height=height, width=width,
+                         num_frames=num_frames, num_inference_steps=num_inference_steps)
+        return [VideoArtifact(value=video)]

@@ -27,6 +27,8 @@ class WanPipeline:
         prompt: str,
         negative_prompt: Optional[str] = None,
         image: Optional[np.ndarray] = None,
+        control_image: Optional[np.ndarray] = None,
+        control_video: Optional[np.ndarray] = None,
         height: int = 480,
         width: int = 832,
         num_frames: int = 81,
@@ -71,6 +73,39 @@ class WanPipeline:
             m[:, :, 0] = 1.0
             cond_channels = jnp.asarray(np.concatenate([m, cond_latents], axis=1))
 
+        # Channel-concat control conditioning (control-trained checkpoints: the
+        # patch embed was widened to 2x/3x channels). Mirrors the training path:
+        # normalized VAE posterior mode + frame conditioning
+        # (control_specification.py forward).
+        control_channels = None
+        if control_video is None and control_image is not None:
+            control_video = np.asarray(control_image)[None]
+        if control_video is not None:
+            from ...functional.video import resize_crop_video
+            from ...trainer.control_trainer.data import apply_frame_conditioning_on_latents_jax
+            from ..autoencoders import encode_media
+
+            vid = np.asarray(control_video)
+            if vid.dtype == np.uint8:
+                vid = np.moveaxis(vid.astype(np.float32) / 127.5 - 1.0, -1, 1)
+            vid = resize_crop_video(vid, (height, width))
+            frames = np.zeros((3, num_frames, height, width), np.float32)
+            n = min(num_frames, vid.shape[0])
+            frames[:, :n] = vid[:n].transpose(1, 0, 2, 3)
+            moments = encode_media(self.vae, jnp.asarray(frames)[None])
+            moments = spec._normalize_moments(
+                moments,
+                jnp.asarray(self.vae.config["latents_mean"], jnp.float32),
+                jnp.asarray(self.vae.config["latents_std"], jnp.float32),
+            )
+            ctrl = jnp.split(moments, 2, axis=1)[0]
+            control_channels = apply_frame_conditioning_on_latents_jax(
+                ctrl, jax.random.PRNGKey(seed), frame_dim=2, channel_dim=1,
+                frame_conditioning_type=getattr(spec, "frame_conditioning_type", "full"),
+                frame_conditioning_index=getattr(spec, "frame_conditioning_index", 0),
+                concatenate_mask=getattr(spec, "frame_conditioning_concatenate_mask", False),
+            )
+
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
         @jax.jit
@@ -78,6 +113,8 @@ class WanPipeline:
             model_in = latents
             if cond_channels is not None:
                 model_in = jnp.concatenate([latents, cond_channels], axis=1)
+            if control_channels is not None:
+                model_in = jnp.concatenate([model_in, control_channels], axis=1)
             model_in = jnp.concatenate([model_in] * 2) if do_cfg else model_in
             timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
             pred = self.transformer.module.apply(

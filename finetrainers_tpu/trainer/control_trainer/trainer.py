@@ -120,18 +120,11 @@ class ControlTrainer(SFTTrainer):
     def _apply_auxiliary_exports(self, params, export_dir: str):
         """Re-apply exported qk-norm / injection-layer weights on top of the
         fresh base + LoRA (inverse of `_save_auxiliary_weights`)."""
-        from ...utils.serialization import safetensors_load_dict
+        from ...lora import apply_auxiliary_weights
 
-        aux_path = os.path.join(export_dir, "control_aux_weights.safetensors")
-        if not os.path.exists(aux_path):
-            return params
-        aux = safetensors_load_dict(aux_path)
-        flat = flatten_params(params)
-        for key, value in aux.items():
-            if key not in flat:
-                raise KeyError(f"Auxiliary control weight {key!r} not found in target params")
-            flat[key] = np.asarray(value).astype(np.asarray(flat[key]).dtype)
-        return unflatten_params(flat)
+        return apply_auxiliary_weights(
+            params, os.path.join(export_dir, "control_aux_weights.safetensors")
+        )
 
     def _save_auxiliary_weights(self, directory: str, state: Dict[str, Any]) -> None:
         """Export qk-norm + injection-layer weights next to the LoRA safetensors

@@ -127,3 +127,68 @@ class TestControlTrainerIntegration:
         aux = safetensors_load_dict(str(lora_dir / "control_aux_weights.safetensors"))
         assert any("patch_embedding" in k for k in aux), "injection layer must train at full rank"
         assert any("norm_q" in k for k in aux), "qk norms must be trained with --train_qk_norm"
+
+
+class TestControlInference:
+    def test_control_pipeline_conditions_output(self):
+        """Inference-time channel-concat control: a widened transformer +
+        control video drive the pipeline, and different control inputs give
+        different samples (reference control inference,
+        patches/dependencies/diffusers/control.py:12-36)."""
+        from finetrainers_tpu.models.wan.control_specification import WanControlModelSpecification
+
+        spec = WanControlModelSpecification(
+            transformer_config=dict(TINY_WAN), vae_config=TINY_VAE,
+            frame_conditioning_type="index", frame_conditioning_index=0,
+        )
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        transformer = spec.load_diffusion_models(new_in_features=8)["transformer"]
+        vae = spec.load_latent_models()["vae"]
+        pipeline = spec.load_pipeline(
+            transformer=transformer, vae=vae,
+            text_encoder=HashEncoder(hidden_size=32, max_length=8),
+        )
+
+        rng = np.random.RandomState(0)
+        ctrl_a = (rng.rand(5, 16, 16, 3) * 255).astype(np.uint8)
+        ctrl_b = np.zeros_like(ctrl_a)
+        kw = dict(prompt="a clip", height=16, width=16, num_frames=5, num_inference_steps=2)
+        out_a = spec.validation(pipeline, control_video=ctrl_a, **kw)[0].value
+        out_b = spec.validation(pipeline, control_video=ctrl_b, **kw)[0].value
+        assert out_a.shape == (5, 16, 16, 3)
+        assert out_a.dtype == np.uint8
+        assert not np.array_equal(out_a, out_b)
+
+    def test_cogview4_control_pipeline(self):
+        """Image-control path: control_image reaches the CogView4 pipeline and
+        conditions the sample."""
+        from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+        from finetrainers_tpu.models.cogview4.control_specification import (
+            CogView4ControlModelSpecification,
+        )
+
+        vae2d = AutoencoderConfig(latent_channels=4, block_out_channels=(8, 16),
+                                  layers_per_block=1, spatial_downsample=(True,),
+                                  temporal_downsample=(False,))
+        spec = CogView4ControlModelSpecification(
+            transformer_config=dict(in_channels=4, out_channels=4, patch_size=2,
+                                    num_attention_heads=2, attention_head_dim=8,
+                                    num_layers=2, text_embed_dim=32, time_embed_dim=16),
+            vae_config=vae2d,
+        )
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        transformer = spec.load_diffusion_models(new_in_features=8)["transformer"]
+        vae = spec.load_latent_models()["vae"]
+        pipeline = spec.load_pipeline(
+            transformer=transformer, vae=vae,
+            text_encoder=HashEncoder(hidden_size=32, max_length=8),
+        )
+        rng = np.random.RandomState(1)
+        ctrl_a = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+        kw = dict(prompt="a photo", height=16, width=16, num_inference_steps=2)
+        out_a = spec.validation(pipeline, control_image=ctrl_a, **kw)[0].value
+        out_b = spec.validation(pipeline, control_image=np.zeros_like(ctrl_a), **kw)[0].value
+        assert out_a.shape == (16, 16, 3)
+        assert not np.array_equal(out_a, out_b)
