@@ -194,6 +194,9 @@ class BaseArgs:
     compile_scopes: Optional[List[str]] = None
     allow_tf32: bool = False
     float32_matmul_precision: str = "highest"
+    enable_profiling: bool = False
+    profiling_start_step: int = 2
+    profiling_num_steps: int = 3
 
     def __init__(self) -> None:
         # Materialize mutable defaults per instance.
@@ -434,6 +437,10 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--compile_scopes", type=str, default=None, nargs="+")
     parser.add_argument("--allow_tf32", action="store_true")
     parser.add_argument("--float32_matmul_precision", type=str, default="highest", choices=["highest", "high", "medium"])
+    parser.add_argument("--enable_profiling", action="store_true",
+                        help="Capture a jax.profiler (XPlane) trace of a few steady-state steps")
+    parser.add_argument("--profiling_start_step", type=int, default=2)
+    parser.add_argument("--profiling_num_steps", type=int, default=3)
     parser.add_argument("--list_models", action="store_true")
 
 

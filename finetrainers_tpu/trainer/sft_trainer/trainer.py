@@ -404,6 +404,14 @@ class SFTTrainer(Trainer):
             with self.tracker.timed("timing/batch_prep"):
                 cond_batch, lat_batch = next(batch_stream)
 
+            if args.enable_profiling and train_state.step == args.profiling_start_step:
+                from ...utils.timing import ProfilerTrace
+
+                self._profiler = ProfilerTrace(os.path.join(args.output_dir, "traces"))
+                self._profiler.__enter__()
+                logger.info(f"Profiler trace started (steps {train_state.step}-"
+                            f"{train_state.step + args.profiling_num_steps - 1})")
+
             t0 = time.perf_counter()
             with self.tracker.timed("timing/train_step"), self.attention_provider_ctx(training=True):
                 step_rng = jax.random.fold_in(self.rng, train_state.step)
@@ -413,6 +421,12 @@ class SFTTrainer(Trainer):
 
             train_state.step += 1
             train_state.observed_data_samples += global_batch_size
+
+            if (getattr(self, "_profiler", None) is not None
+                    and train_state.step >= args.profiling_start_step + args.profiling_num_steps):
+                self._profiler.__exit__()
+                logger.info(f"Profiler trace written to {self._profiler.log_dir}")
+                self._profiler = None
 
             if train_state.step % args.logging_steps == 0:
                 loss_f = float(loss)
