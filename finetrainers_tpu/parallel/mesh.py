@@ -80,6 +80,42 @@ class ParallelDims:
         )
 
 
+def _build_device_array(dims: "ParallelDims", devices: Sequence[jax.Device]) -> np.ndarray:
+    """Topology-aware device layout for the logical mesh.
+
+    - Multi-slice TPU pods (devices report distinct `slice_index`): lay the
+      outermost data-parallel axis across slices so only its gradient
+      all-reduce crosses DCN, and every dp_shard/cp/tp collective rides ICI
+      (`mesh_utils.create_hybrid_device_mesh`).
+    - Single slice: `mesh_utils.create_device_mesh` permutes devices to match
+      the physical torus for the requested logical shape (nearest-neighbor
+      collectives), which a naive reshape does not guarantee.
+    - Any failure (CPU meshes, unusual shapes) falls back to the contiguous
+      reshape — always correct, possibly topology-suboptimal.
+    """
+    shape = (dims.dp_replicate, dims.dp_shard, dims.cp, dims.tp)
+    slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devices})
+    try:
+        from jax.experimental import mesh_utils
+
+        if len(slice_ids) > 1:
+            n = len(slice_ids)
+            if dims.dp_replicate % n == 0:
+                dcn = (n, 1, 1, 1)
+                ici = (dims.dp_replicate // n, dims.dp_shard, dims.cp, dims.tp)
+            elif dims.dp_shard % n == 0:
+                dcn = (1, n, 1, 1)
+                ici = (dims.dp_replicate, dims.dp_shard // n, dims.cp, dims.tp)
+            else:
+                raise ValueError("no data-parallel axis divisible by the slice count")
+            return mesh_utils.create_hybrid_device_mesh(
+                ici, dcn_mesh_shape=dcn, devices=devices
+            )
+        return mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        return np.asarray(devices).reshape(shape)
+
+
 class MeshEnv:
     """Thin environment wrapping the global mesh: rank/axis helpers, sharding
     constructors, host-data placement. Replaces `BaseParallelBackend`
@@ -100,8 +136,7 @@ class MeshEnv:
                 f"{len(devices)} devices are available."
             )
         self.dims = dims
-        device_array = np.asarray(devices).reshape(dims.dp_replicate, dims.dp_shard, dims.cp, dims.tp)
-        self.mesh = Mesh(device_array, MESH_AXES)
+        self.mesh = Mesh(_build_device_array(dims, devices), MESH_AXES)
 
     # ------------------------------------------------------------------ identity
     @property

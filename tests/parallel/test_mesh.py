@@ -120,3 +120,33 @@ class TestTrainStepSemantics:
         x_sharded = jax.device_put(x, env.data_sharding(2))
         g_sharded = jax.jit(jax.grad(loss))(w_sharded, x_sharded)
         np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5, atol=1e-5)
+
+
+class TestDeviceArrayLayout:
+    def test_single_slice_layout_covers_all_devices(self):
+        import jax
+
+        from finetrainers_tpu.parallel.mesh import ParallelDims, _build_device_array
+
+        devices = jax.devices()
+        arr = _build_device_array(ParallelDims(dp_shard=4, cp=2), devices)
+        assert arr.shape == (1, 4, 2, 1)
+        assert set(arr.ravel().tolist()) == set(devices)
+
+    def test_unmappable_topology_falls_back_to_reshape(self):
+        from finetrainers_tpu.parallel.mesh import ParallelDims, _build_device_array
+
+        class FakeDev:
+            def __init__(self, i, s):
+                self.id = i
+                self.slice_index = s
+
+            def __repr__(self):
+                return f"fake{self.id}"
+
+        # 8 stub devices across 2 "slices": hybrid construction cannot work on
+        # stubs, so the builder must fall back to the contiguous reshape.
+        devices = [FakeDev(i, i // 4) for i in range(8)]
+        arr = _build_device_array(ParallelDims(dp_replicate=2, dp_shard=4), devices)
+        assert arr.shape == (2, 4, 1, 1)
+        assert [d.id for d in arr.ravel().tolist()] == list(range(8))
