@@ -261,6 +261,50 @@ def _pick_flash_block(seq: int, cap: int = 1024) -> Optional[int]:
     return best
 
 
+def _make_tagged_tpu_flash():
+    """custom_vjp wrapper over the in-tree TPU flash kernel whose fwd rule tags
+    its residuals (o, l, m) with the "attn_out" checkpoint name. Under the
+    "ops" remat policy the backward scan then reuses the saved residuals
+    instead of re-running the forward kernel — profiling the LTX train step
+    showed the un-tagged kernel replaying its forward once per layer in the
+    backward pass (a full extra flash fwd per block)."""
+    import functools
+
+    from jax.ad_checkpoint import checkpoint_name
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+    def tagged(q, k, v, causal, sm_scale, block_sizes):
+        o, _, _ = _fa._flash_attention(
+            q, k, v, None, None, True, causal, sm_scale, block_sizes, False
+        )
+        return o
+
+    def fwd(q, k, v, causal, sm_scale, block_sizes):
+        o, l, m = _fa._flash_attention(
+            q, k, v, None, None, True, causal, sm_scale, block_sizes, False
+        )
+        # l/m are per-row f32 (B, N, S) — negligible next to o.
+        o = checkpoint_name(o, "attn_out")
+        l = checkpoint_name(l, "attn_out")
+        m = checkpoint_name(m, "attn_out")
+        return o, (q, k, v, o, l, m)
+
+    def bwd(causal, sm_scale, block_sizes, res, do):
+        q, k, v, o, l, m = res
+        dq, dk, dv, _, _ = _fa._flash_attention_bwd(
+            False, causal, sm_scale, block_sizes, False,
+            (q, k, v, None, None, o, l, m), do,
+        )
+        return dq, dk, dv
+
+    tagged.defvjp(fwd, bwd)
+    return tagged
+
+
+_TAGGED_TPU_FLASH = None
+
+
 @_AttentionProviderRegistry.register("tpu_flash")
 def _tpu_flash_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
     """JAX's in-tree Pallas TPU flash-attention kernel (BNSH layout) — avoids
@@ -301,11 +345,22 @@ def _tpu_flash_attention(query, key, value, attn_mask, dropout_p, is_causal, sca
     q = jnp.swapaxes(query, 1, 2)  # BTNH -> BNSH
     k = jnp.swapaxes(key, 1, 2)
     v = jnp.swapaxes(value, 1, 2)
+    sm_scale = float(scale) if scale is not None else query.shape[-1] ** -0.5
+    if segment_ids is None:
+        global _TAGGED_TPU_FLASH
+        if _TAGGED_TPU_FLASH is None:
+            try:
+                _TAGGED_TPU_FLASH = _make_tagged_tpu_flash()
+            except (ImportError, AttributeError):  # in-tree internals moved
+                _TAGGED_TPU_FLASH = False
+        if _TAGGED_TPU_FLASH:
+            out = _TAGGED_TPU_FLASH(q, k, v, is_causal, sm_scale, block_sizes)
+            return jnp.swapaxes(out, 1, 2)
     out = jax_tpu_flash(
         q, k, v,
         causal=is_causal,
         segment_ids=segment_ids,
-        sm_scale=float(scale) if scale is not None else query.shape[-1] ** -0.5,
+        sm_scale=sm_scale,
         block_sizes=block_sizes,
     )
     return jnp.swapaxes(out, 1, 2)
