@@ -73,3 +73,28 @@ class TestTpuFlashNumerics:
         g_ref = jax.grad(loss("_native_math"))(q)
         g_out = jax.grad(loss("tpu_flash"))(q)
         assert float(jnp.abs(g_out - g_ref).max()) < 5e-2
+
+
+def test_tagged_residuals_skip_fwd_replay_under_remat():
+    """The tagged custom_vjp saves o/l/m under the "ops" policy, so the remat
+    backward holds 3 kernel calls (fwd + dkv + dq); the plain in-tree kernel
+    replays its forward as a 4th (profiled as a full extra flash fwd/layer)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes, flash_attention
+
+    from finetrainers_tpu.ops.attention import _make_tagged_tpu_flash
+    from finetrainers_tpu.utils.activation_checkpoint import get_checkpoint_policy
+
+    b = 128
+    bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
+                    block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b, block_q_dkv=b,
+                    block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+    q = jnp.zeros((1, 2, 128, 64), jnp.float32)
+    policy = get_checkpoint_policy("ops")
+
+    tagged = _make_tagged_tpu_flash()
+    f_t = lambda x: jnp.sum(tagged(x, x, x, False, 0.125, bs))
+    f_p = lambda x: jnp.sum(flash_attention(x, x, x, causal=False, sm_scale=0.125, block_sizes=bs))
+    jaxpr_tagged = str(jax.make_jaxpr(jax.grad(jax.checkpoint(f_t, policy=policy)))(q))
+    jaxpr_plain = str(jax.make_jaxpr(jax.grad(jax.checkpoint(f_p, policy=policy)))(q))
+    assert jaxpr_tagged.count("pallas_call") == 3
+    assert jaxpr_plain.count("pallas_call") == 4
