@@ -54,11 +54,12 @@ diffusion_cmd=(
   --flow_weighting_scheme "logit_normal"
 )
 
-# Attention provider for the training step: the Pallas flash kernel is the
-# fast path on TPU; swap to transformer:ring when cp_degree > 1 to keep KV
-# traffic on the ICI ring.
+# Attention provider for the training step. "auto" routes long self-attention
+# through the block-tuned TPU flash kernel and short/cross attention to the XLA
+# fused path (fastest measured end to end). With cp_degree > 1, swap to
+# transformer:ring to stream KV around the ICI ring.
 attention_cmd=(
-  --attn_provider_training "transformer:flash"
+  --attn_provider_training "transformer:auto"
 )
 
 training_cmd=(
