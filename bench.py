@@ -25,7 +25,7 @@ import time
 
 
 H100_BASELINE_STEP_SECONDS = 0.35
-TIMED_STEPS = 10
+TIMED_STEPS = int(os.environ.get("BENCH_TIMED_STEPS", "10"))
 V5E_PEAK_FLOPS = 197e12  # bf16 per chip
 
 # Flagship latent shape: 49f x 512 x 768 through the LTX VAE (32x spatial, 8x
