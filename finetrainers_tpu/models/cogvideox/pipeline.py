@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...schedulers import CogVideoXDDIMScheduler
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 
 
 @dataclasses.dataclass
@@ -54,26 +54,31 @@ class CogVideoXPipeline:
         timesteps = np.linspace(N - 1, 0, num_inference_steps).round().astype(np.int64)
         alphas = np.asarray(self.scheduler.alphas_cumprod)
 
-        @jax.jit
-        def denoise_step(latents, t, a_t, a_prev):
-            model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
-            tt = jnp.full((model_in.shape[0],), t, jnp.float32)
-            v = self.transformer.module.apply(
-                {"params": self.transformer.params},
-                model_in.astype(spec.transformer_dtype), ehs, tt,
-            )
-            if do_cfg:
-                uncond, cond = jnp.split(v, 2)
-                v = uncond + guidance_scale * (cond - uncond)
-            # x0 = sqrt(a)x_t - sqrt(1-a)v ; eps = sqrt(a)v + sqrt(1-a)x_t
-            x0 = jnp.sqrt(a_t) * latents - jnp.sqrt(1 - a_t) * v
-            eps = jnp.sqrt(a_t) * v + jnp.sqrt(1 - a_t) * latents
-            return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+        def make_step(module=self.transformer.module, dtype=spec.transformer_dtype,
+                      do_cfg=do_cfg):
+            def denoise_step(params, latents, ehs, guidance_scale, t, a_t, a_prev):
+                model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
+                tt = jnp.full((model_in.shape[0],), t, jnp.float32)
+                v = module.apply(
+                    {"params": params}, model_in.astype(dtype), ehs, tt,
+                )
+                if do_cfg:
+                    uncond, cond = jnp.split(v, 2)
+                    v = uncond + guidance_scale * (cond - uncond)
+                # x0 = sqrt(a)x_t - sqrt(1-a)v ; eps = sqrt(a)v + sqrt(1-a)x_t
+                x0 = jnp.sqrt(a_t) * latents - jnp.sqrt(1 - a_t) * v
+                eps = jnp.sqrt(a_t) * v + jnp.sqrt(1 - a_t) * latents
+                return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+            return denoise_step
 
+        denoise_step = instance_jit(self, ("denoise", do_cfg), make_step)
         for i, t in enumerate(timesteps):
             a_t = float(alphas[t])
             a_prev = float(alphas[timesteps[i + 1]]) if i + 1 < len(timesteps) else 1.0
-            latents = denoise_step(latents, float(t), a_t, a_prev)
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, guidance_scale,
+                float(t), a_t, a_prev,
+            )
 
         latents = latents / spec.vae_scaling_factor
         # frames-first -> channels-first for the VAE

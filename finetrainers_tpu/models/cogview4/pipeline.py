@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...schedulers import FlowMatchEulerScheduler
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 
 
 @dataclasses.dataclass
@@ -73,25 +73,35 @@ class CogView4Pipeline:
 
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
-        @jax.jit
-        def denoise_step(latents, sigma, sigma_next):
-            model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
-            if control_latents is not None:
-                ctrl = jnp.concatenate([control_latents] * 2) if do_cfg else control_latents
-                model_in = jnp.concatenate([model_in, ctrl], axis=1)
-            timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
-            pred = self.transformer.module.apply(
-                {"params": self.transformer.params},
-                model_in.astype(spec.transformer_dtype), ehs, timestep,
-                original_size=sizes_in, target_size=sizes_in, crop_coords=crops_in,
-            )
-            if do_cfg:
-                uncond, cond = jnp.split(pred, 2)
-                pred = uncond + guidance_scale * (cond - uncond)
-            return self.scheduler.step(pred, sigma, sigma_next, latents)
+        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+                      dtype=spec.transformer_dtype, do_cfg=do_cfg,
+                      has_control=control_latents is not None):
+            def denoise_step(params, latents, ehs, sizes_in, crops_in,
+                             control_latents, guidance_scale, sigma, sigma_next):
+                model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
+                if has_control:
+                    ctrl = jnp.concatenate([control_latents] * 2) if do_cfg else control_latents
+                    model_in = jnp.concatenate([model_in, ctrl], axis=1)
+                timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
+                pred = module.apply(
+                    {"params": params},
+                    model_in.astype(dtype), ehs, timestep,
+                    original_size=sizes_in, target_size=sizes_in, crop_coords=crops_in,
+                )
+                if do_cfg:
+                    uncond, cond = jnp.split(pred, 2)
+                    pred = uncond + guidance_scale * (cond - uncond)
+                return scheduler.step(pred, sigma, sigma_next, latents)
+            return denoise_step
 
+        denoise_step = instance_jit(
+            self, ("denoise", do_cfg, control_latents is not None), make_step
+        )
         for i in range(num_inference_steps):
-            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, sizes_in, crops_in,
+                control_latents, guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+            )
 
         from ..autoencoders import decode_image_vae
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...schedulers import FlowMatchEulerScheduler
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 
 
 @dataclasses.dataclass
@@ -45,16 +45,19 @@ class DummyPipeline:
 
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
-        @jax.jit
-        def denoise_step(latents, sigma, sigma_next):
-            timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
-            pred = self.transformer.module.apply(
-                {"params": self.transformer.params}, latents, ehs, timestep, encoder_kv_lens=kv_lens
-            )
-            return self.scheduler.step(pred, sigma, sigma_next, latents)
+        def make_step(module=self.transformer.module, scheduler=self.scheduler):
+            def denoise_step(params, latents, ehs, kv_lens, sigma, sigma_next):
+                timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
+                pred = module.apply({"params": params}, latents, ehs, timestep, encoder_kv_lens=kv_lens)
+                return scheduler.step(pred, sigma, sigma_next, latents)
+            return denoise_step
 
+        denoise_step = instance_jit(self, ("denoise", kv_lens is None), make_step)
         for i in range(num_inference_steps):
-            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, kv_lens,
+                float(sigmas[i]), float(sigmas[i + 1]),
+            )
 
         video = self.vae.apply(latents, method=type(self.vae.module).decode)
         video = np.asarray(jnp.clip((video + 1.0) / 2.0, 0.0, 1.0))

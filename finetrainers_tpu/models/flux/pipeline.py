@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...schedulers import FlowMatchEulerScheduler
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 from .transformer import pack_flux_latents, prepare_latent_image_ids, unpack_flux_latents
 
 
@@ -52,21 +52,34 @@ class FluxPipeline:
         mu = _flux_shift_mu(seq_len)
         sigmas = self.scheduler.inference_sigmas(num_inference_steps, mu=mu)
 
-        @jax.jit
-        def denoise_step(latents, sigma, sigma_next):
-            packed = pack_flux_latents(latents)
-            timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
-            pred = self.transformer.module.apply(
-                {"params": self.transformer.params},
-                packed.astype(spec.transformer_dtype), ehs, pooled, timestep, img_ids, txt_ids,
-                guidance=jnp.full((1,), guidance_scale * 1000.0, jnp.float32)
-                if spec.transformer_config["guidance_embeds"] else None,
-            )
-            pred = unpack_flux_latents(pred, latent_h, latent_w)
-            return self.scheduler.step(pred, sigma, sigma_next, latents)
+        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+                      dtype=spec.transformer_dtype,
+                      guided=spec.transformer_config["guidance_embeds"],
+                      latent_h=latent_h, latent_w=latent_w):
+            def denoise_step(params, latents, ehs, pooled, img_ids, txt_ids,
+                             guidance_scale, sigma, sigma_next):
+                packed = pack_flux_latents(latents)
+                timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
+                pred = module.apply(
+                    {"params": params},
+                    packed.astype(dtype), ehs, pooled, timestep, img_ids, txt_ids,
+                    guidance=jnp.full((1,), guidance_scale * 1000.0, jnp.float32)
+                    if guided else None,
+                )
+                pred = unpack_flux_latents(pred, latent_h, latent_w)
+                return scheduler.step(pred, sigma, sigma_next, latents)
+            return denoise_step
 
+        denoise_step = instance_jit(
+            self,
+            ("denoise", spec.transformer_config["guidance_embeds"], latent_h, latent_w),
+            make_step,
+        )
         for i in range(num_inference_steps):
-            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, pooled, img_ids, txt_ids,
+                guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+            )
 
         latents = latents / 0.3611 + 0.1159
         from ..autoencoders import decode_image_vae

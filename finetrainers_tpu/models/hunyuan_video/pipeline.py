@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...schedulers import FlowMatchEulerScheduler
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 
 
 @dataclasses.dataclass
@@ -49,19 +49,26 @@ class HunyuanVideoPipeline:
         latents = jax.random.normal(rng, (1, latent_ch, latent_f, latent_h, latent_w), jnp.float32)
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
-        @jax.jit
-        def denoise_step(latents, sigma, sigma_next):
-            timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
-            pred = self.transformer.module.apply(
-                {"params": self.transformer.params},
-                latents.astype(spec.transformer_dtype), ehs, timestep, pooled,
-                encoder_attention_mask=mask,
-                guidance=jnp.full((1,), guidance_scale * 1000.0, jnp.float32),
-            )
-            return self.scheduler.step(pred, sigma, sigma_next, latents)
+        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+                      dtype=spec.transformer_dtype):
+            def denoise_step(params, latents, ehs, mask, pooled,
+                             guidance_scale, sigma, sigma_next):
+                timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
+                pred = module.apply(
+                    {"params": params},
+                    latents.astype(dtype), ehs, timestep, pooled,
+                    encoder_attention_mask=mask,
+                    guidance=jnp.full((1,), guidance_scale * 1000.0, jnp.float32),
+                )
+                return scheduler.step(pred, sigma, sigma_next, latents)
+            return denoise_step
 
+        denoise_step = instance_jit(self, ("denoise",), make_step)
         for i in range(num_inference_steps):
-            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, mask, pooled,
+                guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+            )
 
         latents = latents / self.vae.config.get("scaling_factor", 1.0)
         video = self.vae.apply(latents, method=type(self.vae.module).decode)

@@ -14,7 +14,7 @@ import numpy as np
 
 from ...schedulers import FlowMatchEulerScheduler
 from ..autoencoders import sample_from_moments
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 from .transformer import pack_latents, unpack_latents
 
 
@@ -78,30 +78,46 @@ class LTXPipeline:
         cfg = spec.transformer_config
         p, pt = cfg["patch_size"], cfg["patch_size_t"]
 
-        @jax.jit
-        def denoise_step(latents, sigma, sigma_next):
-            lat_in = latents
-            if cond_latent is not None:
-                first = jnp.asarray(cond_latent) * (1.0 - sigma) + lat_in[:, :, :1] * sigma
-                lat_in = jnp.concatenate([first, lat_in[:, :, 1:]], axis=2)
-            packed = pack_latents(lat_in, p, pt)
-            model_in = jnp.concatenate([packed] * 2) if do_cfg else packed
-            timesteps = jnp.full((model_in.shape[0], model_in.shape[1]), sigma * 1000.0, jnp.float32)
-            pred = self.transformer.module.apply(
-                {"params": self.transformer.params},
-                model_in.astype(spec.transformer_dtype),
-                ehs, timesteps, encoder_attention_mask=mask,
-                num_frames=latent_f, height=latent_h, width=latent_w,
-                rope_interpolation_scale=rope_scale,
-            )
-            if do_cfg:
-                uncond, cond = jnp.split(pred, 2)
-                pred = uncond + guidance_scale * (cond - uncond)
-            pred = unpack_latents(pred, latent_f, latent_h, latent_w, p, pt)
-            return self.scheduler.step(pred, sigma, sigma_next, lat_in)
+        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+                      dtype=spec.transformer_dtype, do_cfg=do_cfg,
+                      has_cond=cond_latent is not None,
+                      p=p, pt=pt, latent_f=latent_f, latent_h=latent_h,
+                      latent_w=latent_w, rope_scale=rope_scale):
+            def denoise_step(params, latents, ehs, mask, cond_latent,
+                             guidance_scale, sigma, sigma_next):
+                lat_in = latents
+                if has_cond:
+                    first = cond_latent * (1.0 - sigma) + lat_in[:, :, :1] * sigma
+                    lat_in = jnp.concatenate([first, lat_in[:, :, 1:]], axis=2)
+                packed = pack_latents(lat_in, p, pt)
+                model_in = jnp.concatenate([packed] * 2) if do_cfg else packed
+                timesteps = jnp.full((model_in.shape[0], model_in.shape[1]), sigma * 1000.0, jnp.float32)
+                pred = module.apply(
+                    {"params": params},
+                    model_in.astype(dtype),
+                    ehs, timesteps, encoder_attention_mask=mask,
+                    num_frames=latent_f, height=latent_h, width=latent_w,
+                    rope_interpolation_scale=rope_scale,
+                )
+                if do_cfg:
+                    uncond, cond = jnp.split(pred, 2)
+                    pred = uncond + guidance_scale * (cond - uncond)
+                pred = unpack_latents(pred, latent_f, latent_h, latent_w, p, pt)
+                return scheduler.step(pred, sigma, sigma_next, lat_in)
+            return denoise_step
 
+        denoise_step = instance_jit(
+            self,
+            ("denoise", do_cfg, cond_latent is not None,
+             latent_f, latent_h, latent_w, rope_scale),
+            make_step,
+        )
+        cond_latent_in = jnp.asarray(cond_latent) if cond_latent is not None else None
         for i in range(num_inference_steps):
-            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, mask, cond_latent_in,
+                guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+            )
 
         mean = jnp.asarray(self.vae.config["latents_mean"]).reshape(1, -1, 1, 1, 1)
         std = jnp.asarray(self.vae.config["latents_std"]).reshape(1, -1, 1, 1, 1)

@@ -449,3 +449,19 @@ def unflatten_params(flat: Dict[str, Any], sep: str = ".") -> Dict[str, Any]:
 
 def count_params(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def instance_jit(obj, key, make_fn, **jit_kwargs):
+    """Per-instance jit cache for the pipelines' denoise steps.
+
+    Defining `@jax.jit` closures inside `__call__` creates a fresh PjitFunction
+    per request, so batch inference re-traced and re-compiled the denoise step
+    for EVERY prompt. Caching on the pipeline instance keyed by the static
+    configuration keeps one compiled executable per (flags, shapes) — jit's own
+    shape cache handles resolution changes. `make_fn` is only invoked on a
+    cache miss and must take every per-request tensor as an argument (anything
+    it closes over becomes a baked-in constant)."""
+    cache = obj.__dict__.setdefault("_jit_cache", {})
+    if key not in cache:
+        cache[key] = jax.jit(make_fn(), **jit_kwargs)
+    return cache[key]

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...schedulers import FlowMatchEulerScheduler
-from ..modeling_utils import ModelHandle
+from ..modeling_utils import ModelHandle, instance_jit
 
 
 @dataclasses.dataclass
@@ -107,29 +107,46 @@ class WanPipeline:
             )
 
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
+        img_embeds = jnp.asarray(img_embeds) if img_embeds is not None else None
 
-        @jax.jit
-        def denoise_step(latents, sigma, sigma_next):
-            model_in = latents
-            if cond_channels is not None:
-                model_in = jnp.concatenate([latents, cond_channels], axis=1)
-            if control_channels is not None:
-                model_in = jnp.concatenate([model_in, control_channels], axis=1)
-            model_in = jnp.concatenate([model_in] * 2) if do_cfg else model_in
-            timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
-            pred = self.transformer.module.apply(
-                {"params": self.transformer.params},
-                model_in.astype(spec.transformer_dtype), ehs, timestep,
-                encoder_hidden_states_image=jnp.asarray(img_embeds) if img_embeds is not None else None,
-                encoder_attention_mask=mask,
-            )
-            if do_cfg:
-                uncond, cond = jnp.split(pred, 2)
-                pred = uncond + guidance_scale * (cond - uncond)
-            return self.scheduler.step(pred, sigma, sigma_next, latents)
+        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+                      dtype=spec.transformer_dtype, do_cfg=do_cfg,
+                      has_cond=cond_channels is not None,
+                      has_control=control_channels is not None,
+                      has_img=img_embeds is not None):
+            def denoise_step(params, latents, ehs, mask, img_embeds, cond_channels,
+                             control_channels, guidance_scale, sigma, sigma_next):
+                model_in = latents
+                if has_cond:
+                    model_in = jnp.concatenate([latents, cond_channels], axis=1)
+                if has_control:
+                    model_in = jnp.concatenate([model_in, control_channels], axis=1)
+                model_in = jnp.concatenate([model_in] * 2) if do_cfg else model_in
+                timestep = jnp.full((model_in.shape[0],), sigma * 1000.0, jnp.float32)
+                pred = module.apply(
+                    {"params": params},
+                    model_in.astype(dtype), ehs, timestep,
+                    encoder_hidden_states_image=img_embeds if has_img else None,
+                    encoder_attention_mask=mask,
+                )
+                if do_cfg:
+                    uncond, cond = jnp.split(pred, 2)
+                    pred = uncond + guidance_scale * (cond - uncond)
+                return scheduler.step(pred, sigma, sigma_next, latents)
+            return denoise_step
 
+        denoise_step = instance_jit(
+            self,
+            ("denoise", do_cfg, cond_channels is not None,
+             control_channels is not None, img_embeds is not None),
+            make_step,
+        )
         for i in range(num_inference_steps):
-            latents = denoise_step(latents, float(sigmas[i]), float(sigmas[i + 1]))
+            latents = denoise_step(
+                self.transformer.params, latents, ehs, mask, img_embeds,
+                cond_channels, control_channels, guidance_scale,
+                float(sigmas[i]), float(sigmas[i + 1]),
+            )
 
         mean = jnp.asarray(self.vae.config["latents_mean"]).reshape(1, -1, 1, 1, 1)
         std = jnp.asarray(self.vae.config["latents_std"]).reshape(1, -1, 1, 1, 1)

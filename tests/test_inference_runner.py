@@ -89,3 +89,21 @@ class TestInferenceRunner:
             return frame.astype(np.float32)
 
         assert not np.allclose(frames(base_dir), frames(lora_out), atol=1.0)
+
+
+class TestPipelineJitCache:
+    def test_denoise_step_reused_across_requests(self):
+        """Repeated pipeline calls must reuse one jitted denoise step — fresh
+        closures per request re-traced and recompiled the transformer every
+        prompt (instance_jit, models/modeling_utils.py)."""
+        from finetrainers_tpu.config import _get_model_specifiction_cls
+
+        spec = _get_model_specifiction_cls("dummy", "lora")(pretrained_model_name_or_path="none")
+        pipeline = spec.load_pipeline()
+        kw = dict(prompt="x", height=32, width=32, num_frames=2, num_inference_steps=2)
+        pipeline(**kw)
+        cached = dict(pipeline._jit_cache)
+        pipeline(prompt="a different prompt", height=32, width=32, num_frames=2,
+                 num_inference_steps=2)
+        assert pipeline._jit_cache == cached  # same key -> same compiled fn
+        assert len(cached) == 1
