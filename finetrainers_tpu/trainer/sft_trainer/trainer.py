@@ -617,7 +617,16 @@ class SFTTrainer(Trainer):
                 logger.warning("No export artifacts found; final validation uses live weights")
         params = merge_params(self._trainable, self._frozen)
         handle = ModelHandle(self.transformer.module, params, self.transformer.config)
-        return spec.load_pipeline(transformer=handle, vae=self.vae)
+        # Reuse one pipeline instance across validation rounds: the denoise step
+        # is jit-cached per instance with params as an argument, so periodic
+        # validations skip re-tracing the transformer.
+        pipeline = getattr(self, "_validation_pipeline", None)
+        if pipeline is None:
+            pipeline = spec.load_pipeline(transformer=handle, vae=self.vae)
+            self._validation_pipeline = pipeline
+        else:
+            pipeline.transformer = handle
+        return pipeline
 
     def _validate(self, step: int, final: bool = False) -> None:
         args = self.args
