@@ -107,3 +107,7 @@ class TestPipelineJitCache:
                  num_inference_steps=2)
         assert pipeline._jit_cache == cached  # same key -> same compiled fn
         assert len(cached) == 1
+        # A resolution change retraces inside the same jitted fn (jit's own
+        # shape cache), not a new cache entry.
+        pipeline(prompt="x", height=64, width=64, num_frames=2, num_inference_steps=2)
+        assert len(pipeline._jit_cache) == 1
