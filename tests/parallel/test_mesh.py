@@ -150,3 +150,34 @@ class TestDeviceArrayLayout:
         arr = _build_device_array(ParallelDims(dp_replicate=2, dp_shard=4), devices)
         assert arr.shape == (2, 4, 1, 1)
         assert [d.id for d in arr.ravel().tolist()] == list(range(8))
+
+
+class TestDistReductions:
+    def test_host_level_identities(self):
+        import numpy as np
+
+        from finetrainers_tpu.parallel.utils import dist_max, dist_mean, dist_reduce
+
+        assert float(dist_mean([1.0, 3.0])) == 2.0
+        assert float(dist_max([1.0, 3.0])) == 3.0
+        assert float(dist_reduce([1.0, 3.0], op="sum")) == 4.0
+        import pytest
+
+        with pytest.raises(ValueError):
+            dist_reduce(1.0, op="median")
+
+    def test_inside_shard_map(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from finetrainers_tpu.parallel.utils import dist_mean
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+        x = jnp.arange(8, dtype=jnp.float32)
+        f = shard_map(lambda v: dist_mean(v, ("dp",)),
+                      mesh=mesh, in_specs=P("dp"), out_specs=P("dp"))
+        out = np.asarray(f(x))
+        np.testing.assert_allclose(out, np.full(8, 3.5))
