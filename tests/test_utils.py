@@ -50,3 +50,37 @@ class TestModelCard:
         assert "my-lora" in text
         assert "steps" in text and "100" in text
         assert "a cat" in text
+
+
+class TestMemoryUtils:
+    def test_bytes_to_gigabytes(self):
+        from finetrainers_tpu.utils.memory import bytes_to_gigabytes
+
+        assert bytes_to_gigabytes(1024**3) == 1.0
+        assert bytes_to_gigabytes(None) is None
+
+    def test_get_memory_statistics_keys(self):
+        from finetrainers_tpu.utils.memory import get_memory_statistics
+
+        stats = get_memory_statistics()
+        assert "memory_allocated" in stats
+
+    def test_make_contiguous(self):
+        import numpy as np
+
+        from finetrainers_tpu.utils.memory import make_contiguous
+
+        x = np.arange(12).reshape(3, 4)[:, ::2]
+        assert not x.flags["C_CONTIGUOUS"]
+        assert make_contiguous(x).flags["C_CONTIGUOUS"]
+
+
+class TestImportGates:
+    def test_gates_return_bool(self):
+        from finetrainers_tpu.utils import import_utils as iu
+
+        assert iu.is_cv2_available() is True
+        assert iu.is_transformers_available() is True
+        assert isinstance(iu.is_wandb_available(), bool)
+        assert iu.get_version("numpy") is not None
+        assert iu.get_version("definitely_not_a_module") is None
