@@ -32,7 +32,7 @@ logger = get_logger(__name__)
 # family is forward-only (quantization noise in gradients), so inference-only —
 # same split as the reference's allow-lists.
 AttentionProviderTraining = [
-    "auto", "flash", "splash", "tpu_flash", "flash_varlen", "flex", "ring",
+    "auto", "flash", "splash", "tpu_flash", "flash_varlen", "flex", "ring", "ulysses",
     "native", "xla", "xformers", "_native_cudnn", "_native_efficient",
     "_native_flash", "_native_math",
 ]

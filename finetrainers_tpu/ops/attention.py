@@ -510,5 +510,41 @@ def _register_flash_providers():
 
         return ring_attention(query, key, value, axis_name=registry._cp_axis, scale=scale)
 
+    @_AttentionProviderRegistry.register("ulysses", supports_cp=True)
+    def _ulysses(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+        """All-to-all context parallelism (DeepSpeed-Ulysses style; the TPU
+        analog of the reference's `rotate_method="alltoall"` ring variant,
+        reference parallel config `trainer/base.py:71`).
+
+        Instead of ring-rotating KV shards (cp hops over ICI), reshard the
+        sequence-sharded Q/K/V to HEAD-sharded with one GSPMD all-to-all pair,
+        run ordinary full-sequence attention on each head shard, and reshard
+        the output back. Wins over ring when num_heads >= cp and ICI latency
+        dominates over bandwidth (short hops, small shards); requires
+        num_heads divisible by the cp degree."""
+        del dropout_p
+        registry = _AttentionProviderRegistry
+        mesh, axis = registry._cp_mesh, registry._cp_axis
+        if mesh is None or axis is None:
+            return _auto_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+        cp = mesh.shape[axis]
+        if query.shape[2] % cp != 0 or query.shape[2] != key.shape[2]:
+            logger.warning(
+                f"ulysses provider: heads={query.shape[2]} not divisible by cp={cp} "
+                "(or GQA) — falling back to all-gather-KV flash",
+                frequency=1, frequency_key="ulysses-fallback",
+            )
+            return _auto_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # (B, S, N, H): seq-sharded in, head-sharded for the attention body.
+        heads = NamedSharding(mesh, PartitionSpec(None, None, axis, None))
+        seq = NamedSharding(mesh, PartitionSpec(None, axis, None, None))
+        qh = jax.lax.with_sharding_constraint(query, heads)
+        kh = jax.lax.with_sharding_constraint(key, heads)
+        vh = jax.lax.with_sharding_constraint(value, heads)
+        out = _auto_attention(qh, kh, vh, attn_mask, 0.0, is_causal, scale, kv_lens)
+        return jax.lax.with_sharding_constraint(out, seq)
+
 
 _register_flash_providers()

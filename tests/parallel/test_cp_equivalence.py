@@ -117,3 +117,51 @@ class TestRingCPEquivalence:
         np.testing.assert_allclose(loss_val, float(loss_ref), rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(grads_cp), jax.tree_util.tree_leaves(grads_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestUlyssesCPEquivalence:
+    def test_ulysses_provider_matches_unsharded(self):
+        """All-to-all CP: head-sharded attention inside a cp mesh must match
+        unsharded loss/grads (TINY has 2 heads over cp=2 -> 1 head/shard)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from finetrainers_tpu.ops.attention import _AttentionProviderRegistry, attention_provider
+
+        spec = LTXVideoModelSpecification(transformer_config=TINY, vae_config=TINY_VAE)
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        spec.first_frame_conditioning_p = 0.0
+        tr = spec.load_diffusion_models()["transformer"]
+        vae = spec.load_latent_models()["vae"]
+        enc = HashEncoder(hidden_size=32, max_length=8)
+        conds = {k: jnp.asarray(v) for k, v in spec.prepare_conditions(caption="x", text_encoder=enc).items()}
+        lats = {k: jnp.asarray(v) for k, v in
+                spec.prepare_latents(vae, video=np.zeros((7, 3, 16, 16), np.float32)).items()}
+
+        def loss_fn(params, lat_dict):
+            handle = ModelHandle(tr.module, params, tr.config)
+            pred, target, _ = spec.forward(handle, conds, lat_dict, jnp.asarray([0.5]), jax.random.PRNGKey(3))
+            return jnp.mean((pred - target) ** 2)
+
+        loss_ref, grads_ref = jax.value_and_grad(loss_fn)(tr.params, lats)
+
+        env = MeshEnv(ParallelDims(dp_shard=2, cp=2, tp=2))
+        shardings = make_param_shardings(tr.params, env.mesh, tp_rules=spec.tp_rules(), min_weight_size=1)
+        params_sharded = shard_pytree(jax.tree_util.tree_map(np.asarray, tr.params), shardings)
+        seq_dim = spec.cp_plan()["latents"]
+        spec_list = [None] * lats["latents"].ndim
+        spec_list[seq_dim] = "cp"
+        lats_cp = dict(lats)
+        lats_cp["latents"] = jax.device_put(lats["latents"], NamedSharding(env.mesh, P(*spec_list)))
+
+        _AttentionProviderRegistry._set_context_parallel(mesh=env.mesh, axis="cp")
+        try:
+            with attention_provider("ulysses"):
+                loss_cp, grads_cp = jax.jit(jax.value_and_grad(loss_fn))(params_sharded, lats_cp)
+                loss_val = float(loss_cp)
+        finally:
+            _AttentionProviderRegistry._set_context_parallel(None, None)
+
+        np.testing.assert_allclose(loss_val, float(loss_ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(grads_cp), jax.tree_util.tree_leaves(grads_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
