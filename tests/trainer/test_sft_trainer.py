@@ -315,3 +315,15 @@ class TestRingAttentionCP:
             train_steps=3,
         )
         assert (tmp_path / "checkpoints").exists()
+
+    def test_ulysses_provider_cp_training(self, tmp_path, tiny_dataset):
+        """All-to-all CP through the CLI: dummy has 4 heads, so cp=2 head-shards
+        cleanly (heads % cp == 0)."""
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "4", "--cp_degree", "2",
+             "--attn_provider_training", "transformer:ulysses"],
+            train_steps=3,
+        )
+        assert (tmp_path / "checkpoints").exists()
