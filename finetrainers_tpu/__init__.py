@@ -4,8 +4,11 @@ diffusion transformers, with the capabilities of a-r-r-o-w/finetrainers.
 See SURVEY.md for the capability contract and reference file:line citations.
 """
 
-__version__ = "0.1.0.dev0"
-
 from .args import BaseArgs
 from .config import ModelType, TrainingType
 from .logging import get_logger
+from .models import ModelSpecification
+from .trainer import ControlTrainer, SFTTrainer
+
+
+__version__ = "0.2.0"
