@@ -168,7 +168,10 @@ class VideoFolderDataset(ImageFolderDataset):
 
 
 class ImageWebDataset(StatefulIterableDataset):
-    """tar shards with paired entries (key.jpg + key.txt), reference dataset.py:422.
+    """tar OR parquet shards (reference dataset.py:422 + :882,915 treats
+    `*.parquet` like tar shards). Tar entries pair `key.jpg + key.txt`; parquet
+    rows carry a media column (raw bytes or HF-datasets `{bytes, path}` structs
+    under an extension-named or `image`/`video` column) plus caption columns.
     Weighted multi-caption-column selection is supported via `caption_weights`."""
 
     media_key = "image"
@@ -178,8 +181,13 @@ class ImageWebDataset(StatefulIterableDataset):
         super().__init__(infinite)
         self.root = pathlib.Path(root)
         self.caption_weights = caption_weights or {}
-        self._tars = sorted(self.root.glob("*.tar")) if self.root.is_dir() else [self.root]
-        self._index: List[Tuple[str, str]] = []  # (tar path, sample key)
+        if self.root.is_dir():
+            self._tars = sorted(self.root.glob("*.tar"))
+            self._parquets = sorted(self.root.glob("*.parquet"))
+        else:
+            self._tars = [self.root] if self.root.suffix == ".tar" else []
+            self._parquets = [self.root] if self.root.suffix == ".parquet" else []
+        self._index: List[Tuple[str, Any]] = []  # (shard path, sample key | row idx)
         for tar_path in self._tars:
             with tarfile.open(tar_path) as tf:
                 keys: Dict[str, Dict[str, str]] = {}
@@ -191,6 +199,12 @@ class ImageWebDataset(StatefulIterableDataset):
                 for stem, entries in sorted(keys.items()):
                     if any(e in entries for e in self.media_exts):
                         self._index.append((str(tar_path), stem))
+        for pq_path in self._parquets:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(pq_path).metadata.num_rows
+            self._index.extend((str(pq_path), i) for i in range(n_rows))
+        self._pq_cache: Tuple[Optional[str], Any] = (None, None)
         self._precomputable_once = len(self._index) <= MAX_PRECOMPUTABLE_ITEMS_LIMIT
 
     def __len__(self) -> int:
@@ -208,9 +222,55 @@ class ImageWebDataset(StatefulIterableDataset):
                 break
             self._sample_index = 0
 
-    def _load(self, tar_path: str, stem: str) -> Dict[str, Any]:
+    def _choose_caption(self, caption_candidates: Dict[str, str]) -> Optional[str]:
+        if not caption_candidates:
+            return None
+        if self.caption_weights:
+            cols = [c for c in caption_candidates if c in self.caption_weights]
+            if cols:
+                weights = [self.caption_weights[c] for c in cols]
+                chosen = random.choices(cols, weights=weights, k=1)[0]
+            else:
+                chosen = next(iter(caption_candidates))
+        else:
+            chosen = next(iter(caption_candidates))
+        return convert_byte_str_to_str(caption_candidates[chosen])
+
+    def _load_parquet_row(self, pq_path: str, row_idx: int) -> Dict[str, Any]:
+        import pyarrow.parquet as pq
+
+        cached_path, table = self._pq_cache
+        if cached_path != pq_path:
+            table = pq.read_table(pq_path)
+            self._pq_cache = (pq_path, table)
+        row = table.slice(row_idx, 1).to_pylist()[0]
+        sample: Dict[str, Any] = {}
+        caption_candidates: Dict[str, str] = {}
+        for col, value in row.items():
+            key = col.lower()
+            payload, ext = None, None
+            if isinstance(value, (bytes, bytearray)):
+                payload = bytes(value)
+                ext = key if key in self.media_exts else None
+            elif isinstance(value, dict) and isinstance(value.get("bytes"), (bytes, bytearray)):
+                # HF datasets Image/Video struct encoding {bytes, path}
+                payload = bytes(value["bytes"])
+                path = value.get("path") or ""
+                ext = pathlib.Path(path).suffix.lstrip(".").lower() or None
+            if payload is not None and (key == self.media_key or ext in self.media_exts or key in self.media_exts):
+                sample[self.media_key + "_bytes"] = payload
+                sample[self.media_key + "_ext"] = ext or (key if key in self.media_exts else self.media_exts[0])
+            elif isinstance(value, str) and (key in constants.CAPTION_COLUMN_NAMES or key == "txt"):
+                caption_candidates[key] = value
+        caption = self._choose_caption(caption_candidates)
+        sample["caption"] = caption if caption is not None else ""
+        return sample
+
+    def _load(self, tar_path: str, stem) -> Dict[str, Any]:
         import io
 
+        if tar_path.endswith(".parquet"):
+            return self._load_parquet_row(tar_path, stem)
         with tarfile.open(tar_path) as tf:
             entries = {m.name.rpartition(".")[2].lower(): m for m in tf.getmembers()
                        if m.isfile() and m.name.rpartition(".")[0] == stem}
@@ -228,19 +288,8 @@ class ImageWebDataset(StatefulIterableDataset):
                     for col in constants.CAPTION_COLUMN_NAMES:
                         if col in meta and isinstance(meta[col], str):
                             caption_candidates[col] = meta[col]
-            if caption_candidates:
-                if self.caption_weights:
-                    cols = [c for c in caption_candidates if c in self.caption_weights]
-                    if cols:
-                        weights = [self.caption_weights[c] for c in cols]
-                        chosen = random.choices(cols, weights=weights, k=1)[0]
-                    else:
-                        chosen = next(iter(caption_candidates))
-                else:
-                    chosen = next(iter(caption_candidates))
-                sample["caption"] = convert_byte_str_to_str(caption_candidates[chosen])
-            else:
-                sample["caption"] = ""
+            caption = self._choose_caption(caption_candidates)
+            sample["caption"] = caption if caption is not None else ""
             return sample
 
 
@@ -454,7 +503,7 @@ def initialize_dataset(
         )
     cls_image = dataset_type == "image"
 
-    if root.is_file() and root.suffix == ".tar":
+    if root.is_file() and root.suffix in (".tar", ".parquet"):
         cls = ImageWebDataset if cls_image else VideoWebDataset
         return cls(str(root), infinite=infinite, **(caption_options or {}))
 
@@ -462,7 +511,8 @@ def initialize_dataset(
     if any(has(m) for m in ("metadata.json", "metadata.jsonl", "metadata.csv")):
         cls = ImageFolderDataset if cls_image else VideoFolderDataset
         return cls(str(root), infinite=infinite)
-    if list(root.glob("*.tar")):
+    # tar/parquet shards both count as webdatasets (reference dataset.py:882)
+    if list(root.glob("*.tar")) or list(root.glob("*.parquet")):
         cls = ImageWebDataset if cls_image else VideoWebDataset
         return cls(str(root), infinite=infinite, **(caption_options or {}))
     if any(has(f) for f in COMMON_CAPTION_FILES) and (
@@ -504,8 +554,8 @@ def _initialize_hub_dataset(
         root = snapshot_download(repo_id, repo_type="dataset")
         cls = ImageFolderDataset if cls_image else VideoFolderDataset
         return cls(root, infinite=infinite)
-    if any(f.endswith(".tar") for f in files):
-        root = snapshot_download(repo_id, repo_type="dataset", allow_patterns=["*.tar"])
+    if any(f.endswith((".tar", ".parquet")) for f in files):
+        root = snapshot_download(repo_id, repo_type="dataset", allow_patterns=["*.tar", "*.parquet"])
         cls = ImageWebDataset if cls_image else VideoWebDataset
         return cls(root, infinite=infinite, **(caption_options or {}))
     if any(has(f) for f in COMMON_CAPTION_FILES) and (

@@ -72,8 +72,20 @@ class CogVideoXModelSpecification(ModelSpecification):
 
     # ------------------------------------------------------------------ loading
     def load_condition_models(self) -> Dict[str, Any]:
-        encoder = HashEncoder(hidden_size=self.transformer_config["text_embed_dim"], max_length=226)
-        return {"tokenizer": None, "text_encoder": encoder}
+        # Real T5 tower when a checkpoint is reachable (reference
+        # cogvideox/base_specification.py:121-140 loads T5EncoderModel); the
+        # HashEncoder is a loud offline fallback, same shape as LTX/Wan.
+        from ...processors.text_encoders import FlaxT5Handle
+
+        try:
+            encoder = FlaxT5Handle(
+                self.text_encoder_id or self.pretrained_model_name_or_path,
+                tokenizer_id=self.tokenizer_id,
+            )
+        except Exception as e:  # offline / missing checkpoint: degrade loudly
+            logger.warning(f"Could not load T5 ({e}); using offline hash encoder")
+            encoder = HashEncoder(hidden_size=self.transformer_config["text_embed_dim"], max_length=226)
+        return {"tokenizer": getattr(encoder, "tokenizer", None), "text_encoder": encoder}
 
     def load_latent_models(self) -> Dict[str, Any]:
         # Faithful AutoencoderKLCogVideoX with real weights (reference

@@ -58,10 +58,22 @@ class FlaxT5Handle:
     """T5/UMT5 encoder via transformers Flax (JAX-native compute)."""
 
     def __init__(self, model_id: str, tokenizer_id: Optional[str] = None, dtype=None, umt5: bool = False):
+        import os
+
         from transformers import AutoTokenizer, FlaxT5EncoderModel
 
-        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_id or model_id)
+        # Diffusers checkpoint layouts keep the tower under `text_encoder/`
+        # (reference passes subfolder="text_encoder" to T5EncoderModel); accept
+        # either a direct T5 dir/id or a pipeline root.
+        sub = os.path.join(model_id, "text_encoder")
+        if os.path.isdir(sub) and not os.path.exists(os.path.join(model_id, "config.json")):
+            model_id = sub
         self.model = FlaxT5EncoderModel.from_pretrained(model_id, from_pt=True)
+        try:
+            self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_id or model_id)
+        except Exception as e:  # tokenizer assets missing (offline tiny dirs)
+            logger.warning(f"T5 weights loaded but tokenizer unavailable ({e}); set .tokenizer before encode()")
+            self.tokenizer = None
 
     def encode(self, captions: List[str], max_sequence_length: int = 128) -> Tuple[np.ndarray, np.ndarray]:
         batch = self.tokenizer(

@@ -106,9 +106,10 @@ class CogVideoXDDIMScheduler:
 
     @property
     def sigmas(self) -> jax.Array:
-        # Reference maps DDIM timesteps onto [0,1] "sigmas" = t/N
-        # (utils/diffusion.py:77-84).
-        ts = jnp.arange(self.num_train_timesteps, 0, -1, dtype=jnp.float32)
+        # Reference maps DDIM timesteps onto [0,1] "sigmas" = t/N where
+        # scheduler.timesteps = {N-1, ..., 0} (utils/diffusion.py:77-84), so the
+        # grid is {999/1000, ..., 0} and (sigma*N).long() round-trips to t.
+        ts = jnp.arange(self.num_train_timesteps - 1, -1, -1, dtype=jnp.float32)
         return ts / self.num_train_timesteps
 
     def training_sigmas(self, rng: jax.Array, batch_size: int, **_) -> jax.Array:

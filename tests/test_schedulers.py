@@ -68,6 +68,49 @@ class TestCogVideoXDDIM:
         plain = np.asarray(CogVideoXDDIMScheduler(snr_shift_scale=1.0, rescale_betas_zero_snr=False).alphas_cumprod)
         assert np.all(shifted < plain)
 
+    def test_sigma_timestep_roundtrip_matches_torch(self):
+        """The trainer recovers DDIM timesteps as (sigma*1000).astype(int) from
+        sigmas = t/1000 (reference cogvideox forward :289 does
+        `(sigmas*1000.0).long()` on `scheduler.timesteps/1000` grids,
+        utils/diffusion.py:77-84). The float32 round-trip must agree with torch
+        bit-for-bit over the whole grid (VERDICT r2 weak #8)."""
+        import pytest
+
+        torch = pytest.importorskip("torch")
+        sched = CogVideoXDDIMScheduler()
+        sig = np.asarray(sched.sigmas)
+        # Grid is {999/1000, ..., 0} like torch.arange(0,1000)[::-1]/1000
+        ref_sig = (torch.from_numpy(np.arange(0, 1000)[::-1].copy()).float() / 1000.0).numpy()
+        np.testing.assert_array_equal(sig, ref_sig)
+        ours = np.asarray(
+            jnp.clip((jnp.asarray(sig) * 1000).astype(jnp.int32), 0, 999)
+        )
+        theirs = (torch.from_numpy(ref_sig) * 1000.0).long().numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_loss_weights_match_reference_formula(self):
+        """prepare_loss_weights parity: CogVideoX weights are 1/(1-alpha_t)
+        (reference utils/diffusion.py:120-135) with alphas_cumprod built by the
+        scaled-linear + SNR-shift + zero-terminal-SNR pipeline. Alphas are
+        checked against an independent float64 reimplementation of the
+        published CogVideoX scheduler config."""
+        from finetrainers_tpu.functional.diffusion import compute_loss_weighting
+
+        sched = CogVideoXDDIMScheduler()
+        # independent recomputation (scaled_linear betas, CogVideoX config)
+        betas = np.linspace(0.00085**0.5, 0.012**0.5, 1000, dtype=np.float64) ** 2
+        ac = np.cumprod(1.0 - betas)
+        ac = ac / (3.0 - 2.0 * ac)  # snr_shift_scale = 3
+        sqrt_ac = np.sqrt(ac)
+        sqrt_ac = (sqrt_ac - sqrt_ac[-1]) * sqrt_ac[0] / (sqrt_ac[0] - sqrt_ac[-1])
+        ac = sqrt_ac**2
+        np.testing.assert_allclose(np.asarray(sched.alphas_cumprod), ac, rtol=1e-5, atol=1e-7)
+
+        t = jnp.asarray([0, 100, 500, 998])
+        got = np.asarray(compute_loss_weighting("none", alphas=sched.alphas_cumprod[t]))
+        want = 1.0 / (1.0 - ac[np.asarray(t)])
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
     def test_add_noise_interpolates(self):
         sched = CogVideoXDDIMScheduler()
         latents = jnp.ones((2, 4))
