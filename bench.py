@@ -151,10 +151,24 @@ def main() -> None:
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 2))
-
     rng = jax.random.PRNGKey(0)
-    # Warm up (compile), then time TIMED_STEPS sequential steps. Dispatch is
+    # Compile once explicitly (the compiled object is reused for the timed loop)
+    # so XLA's memory assignment is available: the axon backend returns no
+    # runtime memory_stats, so peak HBM is reported from the static analysis —
+    # arguments + outputs - donated aliases + temps + code.
+    step = jax.jit(train_step, donate_argnums=(0, 2)).lower(
+        trainable, frozen, opt_state, rng
+    ).compile()
+    mem_gb = None
+    try:
+        ma = step.memory_analysis()
+        mem_gb = round(
+            (ma.argument_size_in_bytes + ma.output_size_in_bytes - ma.alias_size_in_bytes
+             + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes) / 2**30, 2)
+    except Exception:
+        pass
+
+    # Warm up, then time TIMED_STEPS sequential steps. Dispatch is
     # async, so per-call tunnel latency (~40ms) overlaps device compute; only
     # the final np.asarray forces completion.
     trainable, opt_state, loss = step(trainable, frozen, opt_state, rng)
@@ -171,12 +185,13 @@ def main() -> None:
     flops = ltx_train_step_flops(cfg, LORA_RANK, remat_factor)
     tflops = flops * steps_per_sec / 1e12
     # Peak HBM (BASELINE.md's memory-floor counterpart; reference README:95-109
-    # publishes min-VRAM floors for the same LoRA conditions).
+    # publishes min-VRAM floors for the same LoRA conditions). Runtime stats
+    # when the backend provides them, else XLA's static memory assignment.
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        peak_hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2) or None
+        peak_hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2) or mem_gb
     except Exception:
-        peak_hbm_gb = None
+        peak_hbm_gb = mem_gb
     print(json.dumps({
         "metric": "train_step_throughput_ltx_video_lora_49x512x768",
         "value": round(steps_per_sec, 5),

@@ -69,6 +69,35 @@ class LoRADense(nn.Module):
         return y
 
 
+class LoRAProjParams(nn.Module):
+    """Declares the SAME param tree as `LoRADense` (kernel/bias/lora_a/lora_b —
+    identical names, shapes, dtypes, initializers) but returns the raw params
+    instead of computing, so a parent can fuse several projections into one
+    matmul (e.g. q/k/v) while keeping checkpoint compatibility."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    rank: int = 0
+    alpha: float = 1.0
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, (self.in_features, self.features), self.param_dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+        lora_a = lora_b = None
+        if self.rank > 0:
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(1.0 / max(self.rank, 1)), (self.in_features, self.rank), self.param_dtype
+            )
+            lora_b = self.param("lora_b", nn.initializers.zeros_init(), (self.rank, self.features), self.param_dtype)
+        return kernel, bias, lora_a, lora_b
+
+
 class RMSNorm(nn.Module):
     """RMSNorm with fp32 statistics; optional learnable scale."""
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..layers import (
     LoRADense,
+    LoRAProjParams,
     RMSNorm,
     block_stack,
     resolve_use_scan,
@@ -124,7 +125,20 @@ def apply_ltx_rotary_emb(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Ar
 
 class LTXAttention(nn.Module):
     """LTX attention: qk RMS-norm applied across the full inner dim
-    ("rms_norm_across_heads"), biases on q/k/v/out."""
+    ("rms_norm_across_heads"), biases on q/k/v/out.
+
+    TPU-first layout of the hot path:
+      - Self-attention fuses the q/k/v base kernels into ONE (D, 3D) matmul and
+        the three LoRA A factors into one (D, 3r) matmul (same param tree as
+        three LoRADense modules — `LoRAProjParams` declares identical leaves).
+        The wide matmuls keep the MXU busy where three narrow ones stall on
+        weight streaming, and autodiff still only touches LoRA factors.
+      - RoPE is NOT applied here: the (cos, sin) tables go to
+        `attention_dispatch(rope_freqs=...)` and are applied inside the Pallas
+        flash kernels (fwd + transpose-rotation in bwd), so rotated q/k never
+        round-trip through HBM (profiled: the XLA interleave rotation cost more
+        per step than the flash forward itself).
+    """
 
     num_heads: int
     head_dim: int
@@ -135,23 +149,40 @@ class LTXAttention(nn.Module):
     @nn.compact
     def __call__(self, x, context=None, freqs=None, kv_lens=None):
         inner = self.num_heads * self.head_dim
-        ctx = x if context is None else context
-        q = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_q")(x)
-        k = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_k")(ctx)
-        v = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_v")(ctx)
+        b, sq = x.shape[0], x.shape[1]
+        if context is None:
+            in_features = x.shape[-1]
+            wq, bq, aq, b2q = LoRAProjParams(in_features, inner, rank=self.lora_rank, name="to_q")()
+            wk, bk, ak, b2k = LoRAProjParams(in_features, inner, rank=self.lora_rank, name="to_k")()
+            wv, bv, av, b2v = LoRAProjParams(in_features, inner, rank=self.lora_rank, name="to_v")()
+            xc = x.astype(self.dtype)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            y = jnp.dot(xc, w) + jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            if self.lora_rank > 0:
+                scaling = self.lora_alpha / self.lora_rank
+                a = jnp.concatenate([aq, ak, av], axis=1).astype(self.dtype)
+                ya = jnp.dot(xc, a)  # (B, S, 3r)
+                deltas = [
+                    jnp.dot(ya[..., i * self.lora_rank:(i + 1) * self.lora_rank], f.astype(self.dtype))
+                    for i, f in enumerate((b2q, b2k, b2v))
+                ]
+                y = y + scaling * jnp.concatenate(deltas, axis=-1).astype(y.dtype)
+            q, k, v = jnp.split(y, 3, axis=-1)
+            skv = sq
+        else:
+            q = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_q")(x)
+            k = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_k")(context)
+            v = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_v")(context)
+            skv = k.shape[1]
         q = RMSNorm(dtype=self.dtype, name="norm_q")(q)
         k = RMSNorm(dtype=self.dtype, name="norm_k")(k)
-        if freqs is not None:
-            # diffusers applies RoPE on the full inner dim BEFORE the head split.
-            cos, sin = freqs
-            q = apply_ltx_rotary_emb(q, cos, sin)
-            k = apply_ltx_rotary_emb(k, cos, sin)
-        b, sq = q.shape[0], q.shape[1]
-        skv = k.shape[1]
         q = q.reshape(b, sq, self.num_heads, self.head_dim)
         k = k.reshape(b, skv, self.num_heads, self.head_dim)
         v = v.reshape(b, skv, self.num_heads, self.head_dim)
-        out = attention_dispatch(q, k, v, kv_lens=kv_lens)
+        # diffusers applies RoPE on the full inner dim BEFORE the head split;
+        # pairs never cross head boundaries, so per-head application inside the
+        # kernel is exact.
+        out = attention_dispatch(q, k, v, kv_lens=kv_lens, rope_freqs=freqs)
         out = out.reshape(b, sq, inner)
         return LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="to_out")(out)
 
@@ -166,11 +197,16 @@ class LTXTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, temb, freqs, encoder_kv_lens=None):
-        # scale_shift_table (6, dim) + temb (B, S|1, 6*dim)
+        # scale_shift_table (6, dim) + temb (B, S|1, 6*dim). Slice temb FIRST,
+        # then add in fp32 per modulation: same math as reshaping the whole temb
+        # to fp32 and splitting, but the (B, S, 6, dim) fp32 intermediate (132MB
+        # at flagship scale, re-materialized per block in fwd AND the remat
+        # backward) never exists.
         table = self.param("scale_shift_table", nn.initializers.normal(self.dim**-0.5), (6, self.dim), jnp.float32)
-        ada = table[None, None] + temb.reshape(temb.shape[0], -1, 6, self.dim).astype(jnp.float32)
+        t6 = temb.reshape(temb.shape[0], -1, 6, self.dim)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
-            a[:, :, 0].astype(self.dtype) for a in jnp.split(ada, 6, axis=2)
+            (table[i][None, None] + t6[:, :, i].astype(jnp.float32)).astype(self.dtype)
+            for i in range(6)
         ]
 
         h = RMSNorm(elementwise_affine=False, dtype=self.dtype, name="norm1")(x)
@@ -268,10 +304,9 @@ class LTXVideoTransformer3DModel(nn.Module):
         )
 
         table = self.param("scale_shift_table", nn.initializers.normal(inner**-0.5), (2, inner), jnp.float32)
-        emb_t = embedded_timestep.reshape(embedded_timestep.shape[0], -1, 1, inner).astype(jnp.float32)
-        mod = table[None, None] + emb_t  # (B, S|1, 2, inner)
-        shift = mod[:, :, 0].astype(self.dtype)
-        scale = mod[:, :, 1].astype(self.dtype)
+        emb_t = embedded_timestep.reshape(embedded_timestep.shape[0], -1, inner).astype(jnp.float32)
+        shift = (table[0][None, None] + emb_t).astype(self.dtype)
+        scale = (table[1][None, None] + emb_t).astype(self.dtype)
         x = RMSNorm(elementwise_affine=False, dtype=self.dtype, name="norm_out")(x)
         x = x * (1.0 + scale) + shift
         x = LoRADense(

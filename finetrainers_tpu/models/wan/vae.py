@@ -174,12 +174,22 @@ class WanResample(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, hh, ww, c = x.shape
         if self.mode == "upsample3d":
-            # temporal doubling first: causal time conv to 2C, interleave, drop
-            # the leading frame (1+k -> 1+2k).
-            y = WanCausalConv3d(self.dim * 2, (3, 1, 1), dtype=self.dtype, name="time_conv")(x)
-            y = y.reshape(b, t, hh, ww, 2, c)
-            y = jnp.moveaxis(y, 4, 2).reshape(b, t * 2, hh, ww, c)
-            x = y[:, 1:] if t > 0 else y
+            # Temporal doubling matching diffusers' cached frame-by-frame decode
+            # exactly: the FIRST frame passes through un-doubled and NEVER enters
+            # the time conv (the first chunk marks its cache "Rep" and skips the
+            # conv; the second chunk then convolves with zero left-padding, so
+            # frames 2..T form an independent causal sequence). Output frame
+            # count: 1 + 2*(T-1).
+            time_conv = WanCausalConv3d(self.dim * 2, (3, 1, 1), dtype=self.dtype, name="time_conv")
+            if t > 1:
+                y = time_conv(x[:, 1:])  # causal zero-pad; f1 excluded
+                y = y.reshape(b, t - 1, hh, ww, 2, c)
+                y = jnp.moveaxis(y, 4, 2).reshape(b, (t - 1) * 2, hh, ww, c)
+                x = jnp.concatenate([x[:, :1], y], axis=1)
+            else:
+                # single-frame input: pass through, but materialize the conv
+                # params so checkpoints load shape-independently.
+                time_conv(jnp.zeros((b, 3, hh, ww, c), x.dtype))
             t = x.shape[1]
         if self.mode in ("upsample2d", "upsample3d"):
             flat = x.reshape(b * t, x.shape[2], x.shape[3], c)

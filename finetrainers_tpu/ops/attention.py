@@ -113,6 +113,23 @@ def _check_shapes(query, key, value, attn_mask) -> None:
         raise ValueError("num query heads must be a multiple of num kv heads (GQA)")
 
 
+# Providers whose kernels rotate q/k in VMEM (fused interleaved-pair RoPE);
+# everything else gets the rotation applied in XLA before the call.
+_FUSED_ROPE_PROVIDERS = frozenset({"flash", "splash", "auto", "flex", "flash_varlen"})
+
+
+def _rotate_interleaved_4d(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """XLA fallback rotation on (B, S, N, H) with full-inner-dim (S, N*H) tables
+    (pairs never cross head boundaries, so per-head rotation is equivalent)."""
+    b, s, n, h = x.shape
+    c = cos.reshape(s, n, h)[None]
+    si = sin.reshape(s, n, h)[None]
+    x32 = x.astype(jnp.float32)
+    pairs = x32.reshape(b, s, n, h // 2, 2)
+    rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(x32.shape)
+    return (x32 * c + rotated * si).astype(x.dtype)
+
+
 def attention_dispatch(
     query: jax.Array,
     key: jax.Array,
@@ -125,6 +142,7 @@ def attention_dispatch(
     provider: Optional[str] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    rope_freqs: Optional[tuple] = None,
 ) -> jax.Array:
     """Single dispatch entry (reference attention_dispatch.py:405-447).
 
@@ -134,6 +152,10 @@ def attention_dispatch(
     index instead of materializing S×S masks). q_segment_ids/kv_segment_ids:
     (B, S) int32 packed-varlen segment ids (reference flash_varlen cu_seqlens
     packing, attention_dispatch.py:793-872) — routed to the flash_varlen provider.
+    rope_freqs: optional (cos, sin) fp32 tables of shape (S, N*H) — interleaved
+    -pair RoPE applied to q AND k. Flash-family providers rotate inside the
+    Pallas kernels (rotated q/k never round-trip HBM); others fall back to an
+    XLA rotation here.
     """
     name = provider or _AttentionProviderRegistry._active_provider
     if q_segment_ids is not None and name != "flash_varlen":
@@ -150,6 +172,18 @@ def attention_dispatch(
     kwargs = {}
     if q_segment_ids is not None:
         kwargs = {"q_segment_ids": q_segment_ids, "kv_segment_ids": kv_segment_ids}
+    if rope_freqs is not None:
+        fusable = (
+            name in _FUSED_ROPE_PROVIDERS
+            and query.shape[1] == key.shape[1]
+            and query.shape[2] == key.shape[2]
+        )
+        if fusable:
+            kwargs["rope_freqs"] = rope_freqs
+        else:
+            cos, sin = rope_freqs
+            query = _rotate_interleaved_4d(query, cos, sin)
+            key = _rotate_interleaved_4d(key, cos, sin)
     out = fn(
         query=query,
         key=key,
@@ -373,11 +407,14 @@ def _tpu_flash_attention(query, key, value, attn_mask, dropout_p, is_causal, sca
 
 
 @_AttentionProviderRegistry.register("auto")
-def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
-    """Default provider: the tuned TPU flash kernel for long self-attention on
-    TPU (saved-output remat makes it beat the fused path from ~2.5k tokens, and
-    the fused path OOMs outright at video scale), XLA fused otherwise (short/
-    cross attention, CPU meshes, GQA, dense masks)."""
+def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
+                    rope_freqs=None):
+    """Default provider: this repo's tuned-block Pallas flash kernel for long
+    self-attention on TPU (it beats both the XLA fused path — which OOMs
+    outright at video scale — and the in-tree pallas kernel at the flagship
+    shape: the in-tree dq pass materializes a (B,N,S,block_k) fp32 di broadcast,
+    ~300MB at LTX scale), with fused in-kernel RoPE when tables are provided.
+    XLA fused otherwise (short/cross attention, CPU meshes, GQA, dense masks)."""
     use_kernel = (
         jax.default_backend() == "tpu"
         and attn_mask is None
@@ -387,24 +424,43 @@ def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, k
         and _pick_flash_block(query.shape[1]) is not None
     )
     if use_kernel:
-        return _tpu_flash_attention(query, key, value, None, 0.0, is_causal, scale, kv_lens)
+        from .flash_attention import flash_attention
+
+        block = _pick_flash_block(query.shape[1])
+        cos, sin = rope_freqs if rope_freqs is not None else (None, None)
+        return flash_attention(
+            query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
+            block_q=block, block_kv=block, rope_cos=cos, rope_sin=sin,
+        )
+    if rope_freqs is not None:
+        query = _rotate_interleaved_4d(query, *rope_freqs)
+        key = _rotate_interleaved_4d(key, *rope_freqs)
     return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
 
 
 def _register_flash_providers():
-    from .flash_attention import flash_attention
+    from .flash_attention import DEFAULT_BLOCK_KV, DEFAULT_BLOCK_Q, flash_attention
 
     @_AttentionProviderRegistry.register("flash", supports_cp=True)
     @_AttentionProviderRegistry.register("splash", supports_cp=True)
-    def _flash(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+    def _flash(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
+               rope_freqs=None):
         del dropout_p
         if attn_mask is not None:
             # General masks fall back to the XLA fused path; kv_lens is the fast path.
+            if rope_freqs is not None:
+                query = _rotate_interleaved_4d(query, *rope_freqs)
+                key = _rotate_interleaved_4d(key, *rope_freqs)
             return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
-        return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+        bq = _pick_flash_block(query.shape[1]) or DEFAULT_BLOCK_Q
+        bkv = _pick_flash_block(key.shape[1]) or DEFAULT_BLOCK_KV
+        cos, sin = rope_freqs if rope_freqs is not None else (None, None)
+        return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
+                               block_q=bq, block_kv=bkv, rope_cos=cos, rope_sin=sin)
 
     @_AttentionProviderRegistry.register("flex")
-    def _flex(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
+    def _flex(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
+              rope_freqs=None):
         """Block-mask attention (reference flex provider,
         attention_dispatch.py:875-935). torch builds a BlockMask from mask_mod
         callables; here the boolean tensor mask is reduced to a block occupancy
@@ -412,8 +468,10 @@ def _register_flash_providers():
         both backward kernels — block sparsity with exact dense-mask semantics
         on partial tiles. Head-dependent masks fall back to the XLA fused path."""
         del dropout_p
+        cos, sin = rope_freqs if rope_freqs is not None else (None, None)
         if attn_mask is None:
-            return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+            return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
+                                   rope_cos=cos, rope_sin=sin)
         mask = attn_mask
         if mask.dtype != jnp.bool_:
             mask = mask > -1.0  # additive 0/-inf convention
@@ -424,6 +482,7 @@ def _register_flash_providers():
         mask = jnp.broadcast_to(mask, (query.shape[0], query.shape[1], key.shape[1]))
         return flash_attention(
             query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale, block_mask=mask,
+            rope_cos=cos, rope_sin=sin,
         )
 
     # Reference aten/xformers provider names: on TPU they all denote the same
@@ -457,7 +516,7 @@ def _register_flash_providers():
 
     @_AttentionProviderRegistry.register("flash_varlen")
     def _flash_varlen(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
-                      q_segment_ids=None, kv_segment_ids=None):
+                      q_segment_ids=None, kv_segment_ids=None, rope_freqs=None):
         """Packed variable-length batching (reference flash_varlen,
         attention_dispatch.py:793-872). TPU-native design: instead of cu_seqlens
         ragged memory layouts (which break XLA's static shapes), sequences are
@@ -469,11 +528,16 @@ def _register_flash_providers():
         if attn_mask is not None and kv_lens is None and kv_segment_ids is None:
             kv_lens = _kv_lens_from_padding_mask(attn_mask, key.shape[1])
             attn_mask = None
+        cos, sin = rope_freqs if rope_freqs is not None else (None, None)
         if attn_mask is not None:
+            if rope_freqs is not None:
+                query = _rotate_interleaved_4d(query, *rope_freqs)
+                key = _rotate_interleaved_4d(key, *rope_freqs)
             return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
         return flash_attention(
             query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            rope_cos=cos, rope_sin=sin,
         )
 
     @_AttentionProviderRegistry.register("ring", supports_cp=True)

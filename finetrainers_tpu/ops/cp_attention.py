@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental.custom_partitioning import custom_partitioning
 
 from .flash_attention import _flash_backward, _flash_forward
-from .ring_attention import _ring_forward, _ring_mha_bwd
+from .ring_attention import _ring_blocks, _ring_forward, _ring_mha_bwd
 
 
 def _seq_axis(arg_shapes):
@@ -39,9 +39,10 @@ def _fwd(q, k, v):
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    block_q, block_kv = _ring_blocks(q.shape[1], k.shape[1])
     out, lse = _flash_forward(
         qt, kt, vt, jnp.full((q.shape[0],), q.shape[1], jnp.int32),
-        None, None, None, _scale(q.shape[-1]), False, 256, 256,
+        None, None, None, _scale(q.shape[-1]), False, block_q, block_kv,
     )
     return jnp.swapaxes(out, 1, 2), lse
 
@@ -75,9 +76,10 @@ _fwd.def_partition(
 def _bwd(q, k, v, out, lse, do):
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
     ot, dot = jnp.swapaxes(out, 1, 2), jnp.swapaxes(do, 1, 2)
+    block_q, block_kv = _ring_blocks(q.shape[1], k.shape[1])
     dq, dk, dv = _flash_backward(
         qt, kt, vt, jnp.full((q.shape[0],), q.shape[1], jnp.int32),
-        None, None, None, ot, lse, dot, _scale(q.shape[-1]), False, 256, 256,
+        None, None, None, ot, lse, dot, _scale(q.shape[-1]), False, block_q, block_kv,
     )
     return tuple(jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
 

@@ -62,6 +62,35 @@ def _pad_to(x: jax.Array, target: int, axis: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+# -------------------------------------------------------------- in-kernel RoPE
+#
+# Interleaved-pair rotation fused into the attention kernels: raw q/k tiles are
+# rotated in VMEM right after load (VPU work overlapped with the MXU matmuls),
+# and the backward kernels apply the TRANSPOSE rotation to dq/dk before the
+# final write. Rotated q/k therefore never exist in HBM — the profile showed the
+# XLA-level interleave (reshape->stack->reshape in fp32) costing more per step
+# than the flash forward itself (pathological T(1,128)/T(2,128) layouts).
+
+
+def _rope_rotate_pairs(x: jax.Array) -> jax.Array:
+    """rotate(x)[2i] = -x[2i+1]; rotate(x)[2i+1] = x[2i]  (lane-dim pairs)."""
+    h = x.shape[1]
+    rolled_m = pltpu.roll(x, h - 1, 1)  # x[j+1] at j (shift must be >= 0)
+    rolled_p = pltpu.roll(x, 1, 1)  # x[j-1] at j
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane % 2 == 0, -rolled_m, rolled_p)
+
+
+def _rope_fwd(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """out[2i] = c*x[2i] - s*x[2i+1]; out[2i+1] = c*x[2i+1] + s*x[2i]."""
+    return x * cos + _rope_rotate_pairs(x) * sin
+
+
+def _rope_bwd(g: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Transpose rotation: d(raw x) = R^T g = g*cos - rotate(g)*sin."""
+    return g * cos - _rope_rotate_pairs(g) * sin
+
+
 # ---------------------------------------------------------------------- forward
 
 
@@ -72,11 +101,12 @@ def _fwd_kernel(
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
     *rest,  # [q_seg_ref (1, bq, 128), kv_seg_ref (1, 8, bkv),] [mask_ref (1, bq, bkv),]
-    #         o_ref, lse_ref, scratch x3
+    #         [cos_q, sin_q, cos_k, sin_k (1, blk, H),] o_ref, lse_ref, scratch x3
     scale: float,
     causal: bool,
     has_segments: bool,
     has_mask: bool,
+    has_rope: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -84,12 +114,16 @@ def _fwd_kernel(
 ):
     rest = list(rest)
     q_seg_ref = kv_seg_ref = mask_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     if has_segments:
         q_seg_ref, kv_seg_ref = rest[0], rest[1]
         rest = rest[2:]
     if has_mask:
         mask_ref = rest[0]
         rest = rest[1:]
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+        rest = rest[4:]
     o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -105,10 +139,13 @@ def _fwd_kernel(
     kv_len = kv_lens_ref[b]
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, H)
+        q = q_ref[0, 0].astype(jnp.float32)  # (bq, H)
         k = k_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        if has_rope:
+            q = _rope_fwd(q, cos_q_ref[0], sin_q_ref[0])
+            k = _rope_fwd(k, cos_k_ref[0], sin_k_ref[0])
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bkv)
 
         col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -191,9 +228,23 @@ def _prepare_mask(attn_mask, q_pad, kv_pad, block_q, block_kv):
     return mask, blockmap
 
 
-def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv):
+def _pad_rope(cos, sin, q_pad):
+    """(N, S, H) fp32 tables padded along S with the identity rotation."""
+    pad = q_pad - cos.shape[1]
+    if pad <= 0:
+        return cos, sin
+    widths = ((0, 0), (0, pad), (0, 0))
+    return (
+        jnp.pad(cos, widths, constant_values=1.0),
+        jnp.pad(sin, widths, constant_values=0.0),
+    )
+
+
+def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv,
+                   rope_cos=None, rope_sin=None):
     """q,k,v: (B, N, S, H); q_seg/kv_seg: optional (B, S) int32; attn_mask:
-    optional (B, Sq, Skv) boolean (flex block-sparse path) — returns (out, lse)."""
+    optional (B, Sq, Skv) boolean (flex block-sparse path); rope_cos/rope_sin:
+    optional (N, S, H) fp32 fused-RoPE tables — returns (out, lse)."""
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
 
@@ -206,6 +257,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
     v = _pad_to(v, kv_pad, 2)
     has_segments = q_seg is not None
     has_mask = attn_mask is not None
+    has_rope = rope_cos is not None
 
     grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
 
@@ -215,6 +267,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         causal=causal,
         has_segments=has_segments,
         has_mask=has_mask,
+        has_rope=has_rope,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -239,6 +292,15 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         operands.append(mask)
     else:
         blockmap = jnp.ones((1, 1, 1), jnp.int32)
+    if has_rope:
+        cos_p, sin_p = _pad_rope(rope_cos, rope_sin, max(q_pad, kv_pad))
+        in_specs += [
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
+        ]
+        operands += [cos_p, sin_p, cos_p, sin_p]
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -276,11 +338,12 @@ def _bwd_dkdv_kernel(
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] dk_ref, dv_ref, dk_scr, dv_scr
+    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dk_ref, dv_ref, dk_scr, dv_scr
     scale: float,
     causal: bool,
     has_segments: bool,
     has_mask: bool,
+    has_rope: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -288,12 +351,16 @@ def _bwd_dkdv_kernel(
 ):
     rest = list(rest)
     q_seg_ref = kv_seg_ref = mask_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     if has_segments:
         q_seg_ref, kv_seg_ref = rest[0], rest[1]
         rest = rest[2:]
     if has_mask:
         mask_ref = rest[0]
         rest = rest[1:]
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+        rest = rest[4:]
     dk_ref, dv_ref, dk_scr, dv_scr = rest
     b = pl.program_id(0)
     kj = pl.program_id(2)
@@ -310,6 +377,9 @@ def _bwd_dkdv_kernel(
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)  # (bq, H)
         k = k_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        if has_rope:
+            q = _rope_fwd(q, cos_q_ref[0], sin_q_ref[0])
+            k = _rope_fwd(k, cos_k_ref[0], sin_k_ref[0])
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)  # (bq, H)
         lse = lse_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
@@ -359,7 +429,11 @@ def _bwd_dkdv_kernel(
 
     @pl.when(qi == num_q - 1)
     def _emit():
-        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dk = dk_scr[:]
+        if has_rope:
+            # kernel accumulates d(k_rot); return d(raw k) = R^T d(k_rot)
+            dk = _rope_bwd(dk, cos_k_ref[0], sin_k_ref[0])
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -372,11 +446,12 @@ def _bwd_dq_kernel(
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] dq_ref, dq_scr
+    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dq_ref, dq_scr
     scale: float,
     causal: bool,
     has_segments: bool,
     has_mask: bool,
+    has_rope: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -384,12 +459,16 @@ def _bwd_dq_kernel(
 ):
     rest = list(rest)
     q_seg_ref = kv_seg_ref = mask_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
     if has_segments:
         q_seg_ref, kv_seg_ref = rest[0], rest[1]
         rest = rest[2:]
     if has_mask:
         mask_ref = rest[0]
         rest = rest[1:]
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+        rest = rest[4:]
     dq_ref, dq_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -405,6 +484,9 @@ def _bwd_dq_kernel(
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
+        if has_rope:
+            q = _rope_fwd(q, cos_q_ref[0], sin_q_ref[0])
+            k = _rope_fwd(k, cos_k_ref[0], sin_k_ref[0])
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0, :, :1].astype(jnp.float32)
@@ -447,15 +529,19 @@ def _bwd_dq_kernel(
 
     @pl.when(kj == num_kv - 1)
     def _emit():
-        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+        dq = dq_scr[:]
+        if has_rope:
+            dq = _rope_bwd(dq, cos_q_ref[0], sin_q_ref[0])
+        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, scale, causal,
-                    block_q, block_kv):
+                    block_q, block_kv, rope_cos=None, rope_sin=None):
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
     has_segments = q_seg is not None
     has_mask = attn_mask is not None
+    has_rope = rope_cos is not None
 
     # delta = rowsum(dO * O): cheap elementwise+reduce — let XLA fuse it.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, N, Sq)
@@ -480,6 +566,7 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
         causal=causal,
         has_segments=has_segments,
         has_mask=has_mask,
+        has_rope=has_rope,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -510,6 +597,21 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
         ]
     else:
         blockmap = jnp.ones((1, 1, 1), jnp.int32)
+    if has_rope:
+        cos_p, sin_p = _pad_rope(rope_cos, rope_sin, max(q_pad, kv_pad))
+        seg_operands = seg_operands + [cos_p, sin_p, cos_p, sin_p]
+        dkdv_seg_specs = dkdv_seg_specs + [
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, j, i, *_: (n, i, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, j, i, *_: (n, i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, j, i, *_: (n, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, j, i, *_: (n, j, 0)),
+        ]
+        dq_seg_specs = dq_seg_specs + [
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
+        ]
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
@@ -572,25 +674,35 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
 # ----------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _flash_mha(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _flash_mha(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, rope_cos, rope_sin,
+               scale, causal, block_q, block_kv):
     out, _ = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal,
-                            block_q, block_kv)
+                            block_q, block_kv, rope_cos, rope_sin)
     return out
 
 
-def _flash_mha_fwd(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv):
+def _flash_mha_fwd(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, rope_cos, rope_sin,
+                   scale, causal, block_q, block_kv):
     out, lse = _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal,
-                              block_q, block_kv)
-    return out, (q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse)
+                              block_q, block_kv, rope_cos, rope_sin)
+    # Tag the kernel residuals so the "ops" remat policy saves them: without
+    # this the backward scan replays the whole forward kernel per layer just to
+    # regenerate out/lse (out is ~11MB, lse a few hundred KB per layer).
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_out")
+    return out, (q, k, v, kv_lens, q_seg, kv_seg, attn_mask, rope_cos, rope_sin, out, lse)
 
 
 def _flash_mha_bwd(scale, causal, block_q, block_kv, residuals, g):
-    q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse = residuals
+    q, k, v, kv_lens, q_seg, kv_seg, attn_mask, rope_cos, rope_sin, out, lse = residuals
     dq, dk, dv = _flash_backward(
-        q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, g, scale, causal, block_q, block_kv
+        q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, g, scale, causal, block_q, block_kv,
+        rope_cos, rope_sin,
     )
-    return dq, dk, dv, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None, None
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
@@ -608,6 +720,8 @@ def flash_attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     block_mask: Optional[jax.Array] = None,
+    rope_cos: Optional[jax.Array] = None,
+    rope_sin: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention on BTNH tensors.
 
@@ -621,6 +735,10 @@ def flash_attention(
     block-sparse path: fully-masked (block_q x block_kv) tiles are skipped in
     the forward AND both backward kernels (torch flex_attention BlockMask
     analog); partial tiles apply the mask densely.
+    rope_cos/rope_sin: optional (S, N*H) fp32 tables for FUSED interleaved-pair
+    RoPE — raw q/k go in, rotation happens inside the kernels (fwd and bwd), so
+    rotated q/k never round-trip through HBM. Requires self-attention shapes
+    (Sq == Skv), no GQA.
     """
     batch, q_len, num_heads, head_dim = query.shape
     kv_len = key.shape[1]
@@ -636,6 +754,13 @@ def flash_attention(
     else:
         kv_lens = kv_lens.astype(jnp.int32)
 
+    if rope_cos is not None:
+        if q_len != kv_len or num_kv_heads != num_heads:
+            raise ValueError("fused RoPE requires self-attention shapes without GQA")
+        # (S, N*H) -> (N, S, H) kernel layout (per-head tables, blockable on S).
+        rope_cos = rope_cos.reshape(q_len, num_heads, head_dim).swapaxes(0, 1)
+        rope_sin = rope_sin.reshape(q_len, num_heads, head_dim).swapaxes(0, 1)
+
     # BTNH -> BNTH (fuses into surrounding projections under XLA).
     q = jnp.swapaxes(query, 1, 2)
     k = jnp.swapaxes(key, 1, 2)
@@ -646,7 +771,7 @@ def flash_attention(
         v = jnp.repeat(v, rep, axis=1)
 
     out = _flash_mha(
-        q, k, v, kv_lens, q_segment_ids, kv_segment_ids, block_mask,
+        q, k, v, kv_lens, q_segment_ids, kv_segment_ids, block_mask, rope_cos, rope_sin,
         float(scale), bool(causal), int(block_q), int(block_kv),
     )
     return jnp.swapaxes(out, 1, 2)

@@ -207,3 +207,62 @@ class TestWanVAESemantics:
         np.testing.assert_allclose(vae.config["latents_std"], [2.0] * 4)
         moments = vae.apply(jnp.zeros((1, 3, 5, 16, 16)), method=AutoencoderKLWan.encode)
         assert moments.shape == (1, 8, 3, 4, 4)
+
+
+class TestUpsample3dCachedParity:
+    """Resolve the upsample3d first-chunk alignment definitively (VERDICT r2
+    item 5b): our monolithic WanResample(upsample3d) must match a NumPy
+    frame-by-frame simulation of diffusers' feat_cache decode algorithm —
+    first frame passes through WITHOUT the time conv ("Rep" marker) and is
+    EXCLUDED from later conv windows; frames 2..T form an independent causal
+    zero-padded sequence, each doubled channel-group-major."""
+
+    def test_matches_cached_simulation(self):
+        from finetrainers_tpu.models.wan.vae import WanResample
+
+        T, HH, WW, C = 5, 4, 4, 6
+        mod = WanResample(dim=C, mode="upsample3d", dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (1, T, HH, WW, C), jnp.float32)
+        params = mod.init(jax.random.fold_in(rng, 1), x)["params"]
+        got = np.asarray(mod.apply({"params": params}, x))
+
+        w = np.asarray(params["time_conv"]["conv"]["kernel"], np.float64)  # (3,1,1,C,2C)
+        bconv = np.asarray(params["time_conv"]["conv"]["bias"], np.float64)
+        frames = np.asarray(x[0], np.float64)  # (T, H, W, C)
+
+        def conv3(f0, f1, f2):
+            stack = np.stack([f0, f1, f2])  # (3, H, W, C)
+            return np.einsum("thwc,tcd->hwd", stack, w[:, 0, 0]) + bconv  # (H, W, 2C)
+
+        # diffusers AutoencoderKLWan frame-by-frame cached decode
+        cache = None
+        temporal_out = []
+        for i in range(T):
+            f = frames[i]
+            if cache is None:
+                cache = "Rep"
+                temporal_out.append(f)  # first chunk: no time conv, undoubled
+                continue
+            if isinstance(cache, str):  # "Rep": conv with internal zero padding
+                y = conv3(np.zeros_like(f), np.zeros_like(f), f)
+                cache = [np.zeros_like(f), f]
+            else:
+                y = conv3(cache[-2], cache[-1], f)
+                cache = [cache[-1], f]
+            temporal_out.append(y[..., :C])   # channel group 0 first
+            temporal_out.append(y[..., C:])
+        temporal = np.stack(temporal_out)  # (2T-1, H, W, C)
+
+        # spatial stage: reuse the module's own conv per frame (per-frame op,
+        # chunking-invariant) on the simulated temporal output
+        import flax.linen as nn
+
+        spatial = nn.Conv(C // 2, (3, 3), padding="SAME", param_dtype=jnp.float32)
+        sp_params = {"kernel": params["resample_1"]["kernel"], "bias": params["resample_1"]["bias"]}
+        up = jax.image.resize(jnp.asarray(temporal, jnp.float32),
+                              (temporal.shape[0], HH * 2, WW * 2, C), "nearest")
+        want = np.asarray(spatial.apply({"params": sp_params}, up))
+
+        assert got.shape == (1, 2 * T - 1, HH * 2, WW * 2, C // 2)
+        np.testing.assert_allclose(got[0], want, atol=1e-4, rtol=1e-4)

@@ -305,3 +305,64 @@ class TestFlexBlockMask:
         providers = list_providers()
         for name in ("flex", "_native_cudnn", "_native_efficient", "_native_flash", "xformers"):
             assert name in providers
+
+
+class TestFusedRope:
+    """In-kernel interleaved-pair RoPE (flash fwd + transpose rotation in bwd)
+    vs XLA rotation outside the kernel."""
+
+    def _tables(self, s, d):
+        ph = jax.random.uniform(jax.random.PRNGKey(7), (s, d // 2), jnp.float32) * 10
+        return jnp.repeat(jnp.cos(ph), 2, axis=-1), jnp.repeat(jnp.sin(ph), 2, axis=-1)
+
+    def test_forward_matches_external_rotation(self):
+        from finetrainers_tpu.ops.attention import _rotate_interleaved_4d
+
+        q, k, v = _qkv(b=1, sq=128, skv=128, n=4, h=32)
+        cos, sin = self._tables(128, 4 * 32)
+        ref = flash_attention(
+            _rotate_interleaved_4d(q, cos, sin), _rotate_interleaved_4d(k, cos, sin), v,
+            block_q=64, block_kv=64,
+        )
+        fused = flash_attention(q, k, v, block_q=64, block_kv=64, rope_cos=cos, rope_sin=sin)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def test_grads_match_external_rotation(self):
+        from finetrainers_tpu.ops.attention import _rotate_interleaved_4d
+
+        q, k, v = _qkv(b=1, sq=128, skv=128, n=4, h=32)
+        cos, sin = self._tables(128, 4 * 32)
+
+        def loss_ref(q, k, v):
+            out = flash_attention(
+                _rotate_interleaved_4d(q, cos, sin), _rotate_interleaved_4d(k, cos, sin), v,
+                block_q=64, block_kv=64,
+            )
+            return jnp.sum(jnp.cos(out))
+
+        def loss_fused(q, k, v):
+            out = flash_attention(q, k, v, block_q=64, block_kv=64, rope_cos=cos, rope_sin=sin)
+            return jnp.sum(jnp.cos(out))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3)
+
+    def test_dispatch_routes_rope_to_kernel_and_fallback(self):
+        q, k, v = _qkv(b=1, sq=128, skv=128, n=4, h=32)
+        cos, sin = self._tables(128, 4 * 32)
+        out_flash = attention_dispatch(q, k, v, provider="flash", rope_freqs=(cos, sin))
+        out_math_path = attention_dispatch(q, k, v, provider="_native_math", rope_freqs=(cos, sin))
+        np.testing.assert_allclose(
+            np.asarray(out_flash), np.asarray(out_math_path), atol=2e-4, rtol=1e-3
+        )
+
+    def test_rope_with_kv_lens(self):
+        q, k, v = _qkv(b=2, sq=128, skv=128, n=4, h=32)
+        cos, sin = self._tables(128, 4 * 32)
+        kv_lens = jnp.asarray([128, 80], jnp.int32)
+        out = attention_dispatch(q, k, v, provider="flash", kv_lens=kv_lens, rope_freqs=(cos, sin))
+        ref = attention_dispatch(q, k, v, provider="_native_math", kv_lens=kv_lens,
+                                 rope_freqs=(cos, sin))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)

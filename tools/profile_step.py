@@ -54,7 +54,7 @@ CATEGORIES = [
 
 
 def analyze(trace_dir: str, top: int = 40) -> None:
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     if not paths:
