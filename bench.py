@@ -135,7 +135,7 @@ def main() -> None:
         "latents_std": jnp.ones((C,), jnp.float32),
     }
 
-    def train_step(trainable, frozen, opt_state, rng):
+    def one_step(trainable, opt_state, frozen, rng):
         sigmas = scheduler.training_sigmas(rng, B)
 
         def loss_fn(trainable):
@@ -150,6 +150,23 @@ def main() -> None:
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
+
+    # The axon tunnel pays a large fixed dispatch cost per execute call (the
+    # call ships ~1k buffer handles); fusing FUSE_STEPS optimizer steps into one
+    # dispatch via lax.fori_loop amortizes it without changing semantics (each
+    # fused step folds its index into the rng exactly like the host loop).
+    FUSE = int(os.environ.get("BENCH_FUSE_STEPS", "1"))
+
+    def train_step(trainable, frozen, opt_state, rng):
+        if FUSE == 1:
+            return one_step(trainable, opt_state, frozen, rng)
+
+        def body(i, carry):
+            trainable, opt_state, _ = carry
+            return one_step(trainable, opt_state, frozen, jax.random.fold_in(rng, i))
+
+        loss0 = jnp.zeros((), jnp.float32)
+        return jax.lax.fori_loop(0, FUSE, body, (trainable, opt_state, loss0))
 
     rng = jax.random.PRNGKey(0)
     # Compile once explicitly (the compiled object is reused for the timed loop)
@@ -177,7 +194,7 @@ def main() -> None:
     for i in range(TIMED_STEPS):
         trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, i + 1))
     _ = np.asarray(loss)
-    elapsed = (time.perf_counter() - t0) / TIMED_STEPS
+    elapsed = (time.perf_counter() - t0) / (TIMED_STEPS * FUSE)
 
     steps_per_sec = 1.0 / elapsed
     vs_baseline = steps_per_sec * H100_BASELINE_STEP_SECONDS

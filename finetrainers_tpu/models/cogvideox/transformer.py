@@ -91,13 +91,19 @@ class CogVideoXBlock(nn.Module):
         v = v.reshape(b, s, n, hd)
         q = LayerNorm(elementwise_affine=True, dtype=self.dtype, name="attn1_norm_q")(q)
         k = LayerNorm(elementwise_affine=True, dtype=self.dtype, name="attn1_norm_k")(k)
+        rope = None
         if freqs is not None:
-            # RoPE applies only to the vision tokens (text prefix unrotated).
-            qv = _rope_interleaved(q[:, st:], *freqs)
-            kv_ = _rope_interleaved(k[:, st:], *freqs)
-            q = jnp.concatenate([q[:, :st], qv], axis=1)
-            k = jnp.concatenate([k[:, :st], kv_], axis=1)
-        attn = attention_dispatch(q, k, v).reshape(b, s, n * hd)
+            # RoPE applies only to the vision tokens: prepend identity rows
+            # (cos=1, sin=0) for the text prefix so the whole joint stream goes
+            # through one fused rotation in the attention kernel.
+            cos, sin = freqs
+            cos2 = jnp.repeat(cos, 2, axis=-1)
+            sin2 = jnp.repeat(sin, 2, axis=-1)
+            rope = (
+                jnp.concatenate([jnp.ones((st, cos2.shape[-1]), cos2.dtype), cos2]),
+                jnp.concatenate([jnp.zeros((st, sin2.shape[-1]), sin2.dtype), sin2]),
+            )
+        attn = attention_dispatch(q, k, v, rope_freqs=rope).reshape(b, s, n * hd)
         attn = LoRADense(self.dim, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
                          name="attn1_to_out")(attn)
         enc_attn, vis_attn = attn[:, :st], attn[:, st:]

@@ -64,11 +64,14 @@ class CogView4Block(nn.Module):
         q = LayerNorm(elementwise_affine=True, dtype=self.dtype, name="attn1_norm_q")(q.reshape(b, s, n, hd))
         k = LayerNorm(elementwise_affine=True, dtype=self.dtype, name="attn1_norm_k")(k.reshape(b, s, n, hd))
         v = v.reshape(b, s, n, hd)
-        qv = _rope_interleaved(q[:, st:], *freqs)
-        kv_ = _rope_interleaved(k[:, st:], *freqs)
-        q = jnp.concatenate([q[:, :st], qv], axis=1)
-        k = jnp.concatenate([k[:, :st], kv_], axis=1)
-        attn = attention_dispatch(q, k, v).reshape(b, s, n * hd)
+        cos, sin = freqs
+        cos2 = jnp.repeat(cos, 2, axis=-1)
+        sin2 = jnp.repeat(sin, 2, axis=-1)
+        rope = (
+            jnp.concatenate([jnp.ones((st, cos2.shape[-1]), cos2.dtype), cos2]),
+            jnp.concatenate([jnp.zeros((st, sin2.shape[-1]), sin2.dtype), sin2]),
+        )
+        attn = attention_dispatch(q, k, v, rope_freqs=rope).reshape(b, s, n * hd)
         attn = LoRADense(self.dim, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
                          name="attn1_to_out")(attn)
         encoder_hidden = encoder_hidden + enc_gate[:, None] * attn[:, :st]

@@ -42,6 +42,12 @@ def flux_rope_freqs(ids: jax.Array, axes_dims: Sequence[int], theta: float = 100
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
+def _rope_tables(cos, sin):
+    """(S, H/2) complex-convention tables -> repeat-2 (S, H) for
+    attention_dispatch's fused/fallback interleaved rotation."""
+    return jnp.repeat(cos, 2, axis=-1), jnp.repeat(sin, 2, axis=-1)
+
+
 def _rope(x, cos, sin):
     x32 = x.astype(jnp.float32)
     x1, x2 = x32[..., 0::2], x32[..., 1::2]
@@ -100,9 +106,7 @@ class FluxDualBlock(nn.Module):
         q = jnp.concatenate([qt, qi], axis=1)
         k = jnp.concatenate([kt, ki], axis=1)
         v = jnp.concatenate([vt, vi], axis=1)
-        q = _rope(q, *freqs)
-        k = _rope(k, *freqs)
-        out = attention_dispatch(q, k, v).reshape(b, st + si, n * hd)
+        out = attention_dispatch(q, k, v, rope_freqs=_rope_tables(*freqs)).reshape(b, st + si, n * hd)
         txt_attn, img_attn = out[:, :st], out[:, st:]
         img_attn = LoRADense(self.dim, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
                              name="attn_to_out")(img_attn)
@@ -154,9 +158,7 @@ class FluxSingleBlock(nn.Module):
         q = RMSNorm(dtype=self.dtype, name="attn_norm_q")(q.reshape(b, s, n, hd))
         k = RMSNorm(dtype=self.dtype, name="attn_norm_k")(k.reshape(b, s, n, hd))
         v = v.reshape(b, s, n, hd)
-        q = _rope(q, *freqs)
-        k = _rope(k, *freqs)
-        attn = attention_dispatch(q, k, v).reshape(b, s, n * hd)
+        attn = attention_dispatch(q, k, v, rope_freqs=_rope_tables(*freqs)).reshape(b, s, n * hd)
 
         mlp = LoRADense(mlp_dim, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
                         name="proj_mlp")(x_n)

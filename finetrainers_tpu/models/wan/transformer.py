@@ -73,10 +73,13 @@ class WanAttention(nn.Module):
         q = q.reshape(b, sq, self.num_heads, self.head_dim)
         k = k.reshape(b, skv, self.num_heads, self.head_dim)
         v = v.reshape(b, skv, self.num_heads, self.head_dim)
+        rope = None
         if freqs is not None:
-            q = _apply_rope_interleaved(q, *freqs)
-            k = _apply_rope_interleaved(k, *freqs)
-        out = attention_dispatch(q, k, v, kv_lens=kv_lens)
+            # repeat-2 expanded (S, H) shared tables: flash-family providers
+            # rotate q/k inside the Pallas kernels; others fall back in XLA.
+            cos, sin = freqs
+            rope = (jnp.repeat(cos, 2, axis=-1), jnp.repeat(sin, 2, axis=-1))
+        out = attention_dispatch(q, k, v, kv_lens=kv_lens, rope_freqs=rope)
         if self.has_image_kv and image_context is not None:
             k_img = LoRADense(inner, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype,
                               name="add_k_proj")(image_context)

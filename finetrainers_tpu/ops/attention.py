@@ -120,10 +120,15 @@ _FUSED_ROPE_PROVIDERS = frozenset({"flash", "splash", "auto", "flex", "flash_var
 
 def _rotate_interleaved_4d(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """XLA fallback rotation on (B, S, N, H) with full-inner-dim (S, N*H) tables
-    (pairs never cross head boundaries, so per-head rotation is equivalent)."""
+    (pairs never cross head boundaries, so per-head rotation is equivalent) or
+    per-head (S, H) tables shared across heads."""
     b, s, n, h = x.shape
-    c = cos.reshape(s, n, h)[None]
-    si = sin.reshape(s, n, h)[None]
+    if cos.shape == (s, h):
+        c = cos[None, :, None, :]
+        si = sin[None, :, None, :]
+    else:
+        c = cos.reshape(s, n, h)[None]
+        si = sin.reshape(s, n, h)[None]
     x32 = x.astype(jnp.float32)
     pairs = x32.reshape(b, s, n, h // 2, 2)
     rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(x32.shape)

@@ -139,14 +139,17 @@ def _fwd_kernel(
     kv_len = kv_lens_ref[b]
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (bq, H)
-        k = k_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        # Keep MXU operands in the INPUT dtype (bf16 in training) with fp32
+        # accumulation — casting to fp32 first forces fp32 MXU passes, measured
+        # ~3x slower at the flagship shape. Scale is applied to the f32 scores.
+        q = q_ref[0, 0]  # (bq, H)
+        k = k_ref[0, 0]  # (bkv, H)
         if has_rope:
-            q = _rope_fwd(q, cos_q_ref[0], sin_q_ref[0])
-            k = _rope_fwd(k, cos_k_ref[0], sin_k_ref[0])
+            q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+            k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bkv)
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bkv) f32
 
         col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = col < kv_len
@@ -174,10 +177,10 @@ def _fwd_kernel(
         p = jnp.where(mask, p, 0.0)
 
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        v = v_ref[0, 0]  # (bkv, H)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, H)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, H) f32
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -294,11 +297,13 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         blockmap = jnp.ones((1, 1, 1), jnp.int32)
     if has_rope:
         cos_p, sin_p = _pad_rope(rope_cos, rope_sin, max(q_pad, kv_pad))
+        shared = rope_cos.shape[0] == 1  # per-head tables shared across heads
+        nmap = (lambda n: 0) if shared else (lambda n: n)
         in_specs += [
-            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
-            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (nmap(n), i, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (nmap(n), i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
         ]
         operands += [cos_p, sin_p, cos_p, sin_p]
     out, lse = pl.pallas_call(
@@ -375,19 +380,19 @@ def _bwd_dkdv_kernel(
     kv_len = kv_lens_ref[b]
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (bq, H)
-        k = k_ref[0, 0].astype(jnp.float32)  # (bkv, H)
+        q = q_ref[0, 0]  # (bq, H) input dtype (bf16 fast path on the MXU)
+        k = k_ref[0, 0]  # (bkv, H)
         if has_rope:
-            q = _rope_fwd(q, cos_q_ref[0], sin_q_ref[0])
-            k = _rope_fwd(k, cos_k_ref[0], sin_k_ref[0])
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)  # (bq, H)
+            q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+            k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]  # (bq, H)
         lse = lse_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
         delta = delta_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
 
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bkv)
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bkv) f32
         col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = col < kv_len
         if causal:
@@ -401,16 +406,16 @@ def _bwd_dkdv_kernel(
 
         # dv += P^T @ dO
         dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         # dp = dO @ V^T ; ds = P * (dp - delta) * scale
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bkv)
+        )  # (bq, bkv) f32
         ds = p * (dp - delta) * scale
         # dk += dS^T @ Q
         dk_scr[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     block_needed = None
@@ -482,19 +487,19 @@ def _bwd_dq_kernel(
     kv_len = kv_lens_ref[b]
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         if has_rope:
-            q = _rope_fwd(q, cos_q_ref[0], sin_q_ref[0])
-            k = _rope_fwd(k, cos_k_ref[0], sin_k_ref[0])
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+            q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+            k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, :, :1].astype(jnp.float32)
         delta = delta_ref[0, 0, :, :1].astype(jnp.float32)
 
         s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
         col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
         mask = col < kv_len
         if causal:
@@ -510,7 +515,7 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - delta) * scale
         dq_scr[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     block_needed = None
@@ -599,18 +604,20 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
         blockmap = jnp.ones((1, 1, 1), jnp.int32)
     if has_rope:
         cos_p, sin_p = _pad_rope(rope_cos, rope_sin, max(q_pad, kv_pad))
+        shared = rope_cos.shape[0] == 1  # per-head tables shared across heads
+        nmap = (lambda n: 0) if shared else (lambda n: n)
         seg_operands = seg_operands + [cos_p, sin_p, cos_p, sin_p]
         dkdv_seg_specs = dkdv_seg_specs + [
-            pl.BlockSpec((1, block_q, head_dim), lambda b, n, j, i, *_: (n, i, 0)),
-            pl.BlockSpec((1, block_q, head_dim), lambda b, n, j, i, *_: (n, i, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, j, i, *_: (n, j, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, j, i, *_: (n, j, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, j, i, *_: (nmap(n), i, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, j, i, *_: (nmap(n), i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, j, i, *_: (nmap(n), j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, j, i, *_: (nmap(n), j, 0)),
         ]
         dq_seg_specs = dq_seg_specs + [
-            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
-            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (n, i, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (n, j, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (nmap(n), i, 0)),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (nmap(n), i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
         ]
 
     dk, dv = pl.pallas_call(
@@ -735,10 +742,11 @@ def flash_attention(
     block-sparse path: fully-masked (block_q x block_kv) tiles are skipped in
     the forward AND both backward kernels (torch flex_attention BlockMask
     analog); partial tiles apply the mask densely.
-    rope_cos/rope_sin: optional (S, N*H) fp32 tables for FUSED interleaved-pair
-    RoPE — raw q/k go in, rotation happens inside the kernels (fwd and bwd), so
-    rotated q/k never round-trip through HBM. Requires self-attention shapes
-    (Sq == Skv), no GQA.
+    rope_cos/rope_sin: optional fp32 tables for FUSED interleaved-pair RoPE —
+    either (S, N*H) full-inner-dim (LTX convention) or (S, H) per-head shared
+    across heads (Wan/Flux convention, repeat-2 expanded). Raw q/k go in,
+    rotation happens inside the kernels (fwd and bwd), so rotated q/k never
+    round-trip through HBM. Requires self-attention shapes (Sq == Skv), no GQA.
     """
     batch, q_len, num_heads, head_dim = query.shape
     kv_len = key.shape[1]
@@ -757,9 +765,21 @@ def flash_attention(
     if rope_cos is not None:
         if q_len != kv_len or num_kv_heads != num_heads:
             raise ValueError("fused RoPE requires self-attention shapes without GQA")
-        # (S, N*H) -> (N, S, H) kernel layout (per-head tables, blockable on S).
-        rope_cos = rope_cos.reshape(q_len, num_heads, head_dim).swapaxes(0, 1)
-        rope_sin = rope_sin.reshape(q_len, num_heads, head_dim).swapaxes(0, 1)
+        if rope_cos.shape == (q_len, num_heads * head_dim):
+            # full-inner-dim tables (LTX convention): (S, N*H) -> (N, S, H)
+            rope_cos = rope_cos.reshape(q_len, num_heads, head_dim).swapaxes(0, 1)
+            rope_sin = rope_sin.reshape(q_len, num_heads, head_dim).swapaxes(0, 1)
+        elif rope_cos.shape == (q_len, head_dim):
+            # per-head tables shared across heads (Wan/Flux convention, already
+            # repeat-2 expanded to H): (S, H) -> (1, S, H); the kernel's index
+            # map pins the head index to 0.
+            rope_cos = rope_cos[None]
+            rope_sin = rope_sin[None]
+        else:
+            raise ValueError(
+                f"rope tables must be (S, N*H) or (S, H); got {rope_cos.shape} "
+                f"for S={q_len}, N={num_heads}, H={head_dim}"
+            )
 
     # BTNH -> BNTH (fuses into surrounding projections under XLA).
     q = jnp.swapaxes(query, 1, 2)

@@ -19,7 +19,19 @@ from typing import Callable, Optional
 import jax
 
 
-CHECKPOINT_TYPES = ("full", "ops", "block_skip")
+CHECKPOINT_TYPES = ("full", "ops", "ops_narrow", "block_skip")
+
+
+def _dot_out_minor_dim(prim, args, params) -> Optional[int]:
+    """Minor output dim of a dot_general eqn, or None if not a no-batch dot."""
+    if str(prim) != "dot_general":
+        return None
+    (c_lhs, c_rhs), (b_lhs, b_rhs) = params["dimension_numbers"]
+    if b_lhs or b_rhs:
+        return None
+    rhs = args[1]
+    free = [d for i, d in enumerate(rhs.shape) if i not in c_rhs]
+    return free[-1] if free else 1
 
 
 def get_checkpoint_policy(checkpoint_type: str = "full") -> Optional[Callable]:
@@ -37,6 +49,19 @@ def get_checkpoint_policy(checkpoint_type: str = "full") -> Optional[Callable]:
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names("attn_out"),
         )
+    if checkpoint_type == "ops_narrow":
+        # Like "ops" but WIDE dot outputs (minor dim > 4096 — the MLP hidden)
+        # are recomputed in the backward instead of saved: trades one extra
+        # ff1 matmul per block for ~44MB/block of activation-stack traffic.
+        names = jax.checkpoint_policies.save_only_these_names("attn_out")
+
+        def policy(prim, *args, **params):
+            minor = _dot_out_minor_dim(prim, args, params)
+            if minor is not None:
+                return minor <= 4096
+            return names(prim, *args, **params)
+
+        return policy
     if checkpoint_type == "block_skip":
         return jax.checkpoint_policies.nothing_saveable
     raise ValueError(f"Unknown checkpoint type {checkpoint_type!r}; choose from {CHECKPOINT_TYPES}")

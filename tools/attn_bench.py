@@ -111,6 +111,29 @@ def _v3b(inputs):
     return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v, block=512)
 
 
+@variant("own_attn_only_1344")
+def _v3c(inputs):
+    q, k, v, *_ = inputs
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v, block=1344)
+
+
+@variant("own_attn_only_2688")
+def _v3d(inputs):
+    q, k, v, *_ = inputs
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v, block=2688)
+
+
+@variant("own_fused_rope_1344")
+def _v5b(inputs):
+    q, k, v, cos, sin, sq, sk = inputs
+    from finetrainers_tpu.ops.flash_attention import flash_attention
+
+    qn = rms_norm(q, sq).reshape(B, S, N, H)
+    kn = rms_norm(k, sk).reshape(B, S, N, H)
+    return flash_attention(qn, kn, v, block_q=1344, block_kv=1344,
+                           rope_cos=cos, rope_sin=sin)
+
+
 @variant("prep_only")  # norm+rope, no attention
 def _v4(inputs):
     q, k, v, cos, sin, sq, sk = inputs
