@@ -151,6 +151,10 @@ class BaseArgs:
     # block), ops (save matmul/attention results), block_skip (checkpoint
     # every 2nd block boundary). Mirrors reference utils/activation_checkpoint.py.
     gradient_checkpointing_type: str = "full"
+    # TPU-native: number of optimizer steps fused into ONE device dispatch
+    # (lax.scan over stacked same-shape batches). Amortizes per-dispatch host
+    # overhead; semantics identical to running the steps one by one.
+    steps_per_dispatch: int = 1
     checkpointing_steps: int = 500
     checkpointing_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None
@@ -298,6 +302,7 @@ class BaseArgs:
                 for k in (
                     "training_type", "seed", "batch_size", "train_steps", "max_data_samples",
                     "gradient_accumulation_steps", "gradient_checkpointing", "gradient_checkpointing_type",
+                    "steps_per_dispatch",
                     "checkpointing_steps",
                     "checkpointing_limit", "resume_from_checkpoint", "enable_slicing", "enable_tiling",
                 )
@@ -397,7 +402,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
     parser.add_argument("--gradient_checkpointing", action="store_true")
     parser.add_argument("--gradient_checkpointing_type", type=str, default="full",
-                        choices=["full", "ops", "block_skip"])
+                        choices=["full", "ops", "ops_narrow", "block_skip"])
+    parser.add_argument("--steps_per_dispatch", type=int, default=1)
     parser.add_argument("--checkpointing_steps", type=int, default=500)
     parser.add_argument("--checkpointing_limit", type=int, default=None)
     parser.add_argument("--resume_from_checkpoint", type=str, default=None)

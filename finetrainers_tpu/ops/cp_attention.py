@@ -41,7 +41,7 @@ def _fwd(q, k, v):
     vt = jnp.swapaxes(v, 1, 2)
     block_q, block_kv = _ring_blocks(q.shape[1], k.shape[1])
     out, lse = _flash_forward(
-        qt, kt, vt, jnp.full((q.shape[0],), q.shape[1], jnp.int32),
+        qt, kt, vt, None,
         None, None, None, _scale(q.shape[-1]), False, block_q, block_kv,
     )
     return jnp.swapaxes(out, 1, 2), lse
@@ -78,7 +78,7 @@ def _bwd(q, k, v, out, lse, do):
     ot, dot = jnp.swapaxes(out, 1, 2), jnp.swapaxes(do, 1, 2)
     block_q, block_kv = _ring_blocks(q.shape[1], k.shape[1])
     dq, dk, dv = _flash_backward(
-        qt, kt, vt, jnp.full((q.shape[0],), q.shape[1], jnp.int32),
+        qt, kt, vt, None,
         None, None, None, ot, lse, dot, _scale(q.shape[-1]), False, block_q, block_kv,
     )
     return tuple(jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))

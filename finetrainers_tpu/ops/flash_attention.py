@@ -107,6 +107,7 @@ def _fwd_kernel(
     has_segments: bool,
     has_mask: bool,
     has_rope: bool,
+    has_kv_lens: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -151,16 +152,26 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (bq, bkv) f32
 
-        col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        mask = col < kv_len
+        # Masking is STATIC where possible: the unmasked self-attention fast
+        # path (no kv_lens, no causal, no segments, no dense mask — e.g. the
+        # LTX flagship shape) skips every per-tile iota/compare/where sweep;
+        # the softmax VPU chain, not the MXU, bounds this kernel at short S.
+        mask = None
+        if has_kv_lens:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len
         if causal:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+            cm = col <= row + (kv_seq_len - q_seq_len)
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
         if q_seg_ref is not None:
             seg_q = q_seg_ref[0, :, :1]  # (bq, 1)
             seg_kv = kv_seg_ref[0, :1, :]  # (1, bkv)
-            mask = jnp.logical_and(mask, seg_q == seg_kv)
-        s = jnp.where(mask, s, _NEG_INF)
+            sm = seg_q == seg_kv
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
         if mask_ref is not None:
             # Additive fold of the loaded mask tile: Mosaic cannot relayout i1
             # vectors derived from loaded data, so avoid boolean ops on it.
@@ -173,8 +184,9 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)  # (bq, bkv)
-        # Mask rows that are entirely invalid keep p≈exp(_NEG_INF - _NEG_INF)=1: re-mask.
-        p = jnp.where(mask, p, 0.0)
+        if mask is not None:
+            # Rows that are entirely invalid keep p≈exp(_NEG_INF-_NEG_INF)=1: re-mask.
+            p = jnp.where(mask, p, 0.0)
 
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, 0]  # (bkv, H)
@@ -245,9 +257,11 @@ def _pad_rope(cos, sin, q_pad):
 
 def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, block_q, block_kv,
                    rope_cos=None, rope_sin=None):
-    """q,k,v: (B, N, S, H); q_seg/kv_seg: optional (B, S) int32; attn_mask:
-    optional (B, Sq, Skv) boolean (flex block-sparse path); rope_cos/rope_sin:
-    optional (N, S, H) fp32 fused-RoPE tables — returns (out, lse)."""
+    """q,k,v: (B, N, S, H); kv_lens: (B,) int32 or None (None = every row
+    attends the full KV — enables the statically-unmasked fast path);
+    q_seg/kv_seg: optional (B, S) int32; attn_mask: optional (B, Sq, Skv)
+    boolean (flex block-sparse path); rope_cos/rope_sin: optional (N, S, H)
+    fp32 fused-RoPE tables — returns (out, lse)."""
     batch, num_heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
 
@@ -261,6 +275,10 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
     has_segments = q_seg is not None
     has_mask = attn_mask is not None
     has_rope = rope_cos is not None
+    # Padded KV columns MUST be masked even without caller kv_lens.
+    has_kv_lens = kv_lens is not None or kv_pad != kv_len
+    if kv_lens is None:
+        kv_lens = jnp.full((batch,), kv_len, dtype=jnp.int32)
 
     grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
 
@@ -271,6 +289,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         has_segments=has_segments,
         has_mask=has_mask,
         has_rope=has_rope,
+        has_kv_lens=has_kv_lens,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -349,6 +368,7 @@ def _bwd_dkdv_kernel(
     has_segments: bool,
     has_mask: bool,
     has_rope: bool,
+    has_kv_lens: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -393,16 +413,23 @@ def _bwd_dkdv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (bq, bkv) f32
-        col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        mask = col < kv_len
+        mask = None
+        if has_kv_lens:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len
         if causal:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+            cm = col <= row + (kv_seq_len - q_seq_len)
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
         if q_seg_ref is not None:
-            mask = jnp.logical_and(mask, q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :])
+            sm = q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :]
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
         if mask_ref is not None:
             s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # (bq, bkv)
+        p = jnp.exp(s - lse)  # (bq, bkv); padded q rows have lse=+inf -> p=0
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
 
         # dv += P^T @ dO
         dv_scr[:] += jax.lax.dot_general(
@@ -457,6 +484,7 @@ def _bwd_dq_kernel(
     has_segments: bool,
     has_mask: bool,
     has_rope: bool,
+    has_kv_lens: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -500,16 +528,23 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        mask = col < kv_len
+        mask = None
+        if has_kv_lens:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len
         if causal:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-            mask = jnp.logical_and(mask, col <= row + (kv_seq_len - q_seq_len))
+            cm = col <= row + (kv_seq_len - q_seq_len)
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
         if q_seg_ref is not None:
-            mask = jnp.logical_and(mask, q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :])
+            sm = q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :]
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
         if mask_ref is not None:
             s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(s - lse)  # padded q rows have lse=+inf -> p=0
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -547,6 +582,9 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
     has_segments = q_seg is not None
     has_mask = attn_mask is not None
     has_rope = rope_cos is not None
+    has_kv_lens = kv_lens is not None
+    if kv_lens is None:
+        kv_lens = jnp.full((batch,), kv_len, dtype=jnp.int32)
 
     # delta = rowsum(dO * O): cheap elementwise+reduce — let XLA fuse it.
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, N, Sq)
@@ -572,6 +610,7 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
         has_segments=has_segments,
         has_mask=has_mask,
         has_rope=has_rope,
+        has_kv_lens=has_kv_lens or kv_pad != kv_len,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -757,9 +796,7 @@ def flash_attention(
         raise ValueError("q_segment_ids and kv_segment_ids must be given together")
     if q_segment_ids is not None and causal:
         raise NotImplementedError("per-segment causal masking is not supported")
-    if kv_lens is None:
-        kv_lens = jnp.full((batch,), kv_len, dtype=jnp.int32)
-    else:
+    if kv_lens is not None:
         kv_lens = kv_lens.astype(jnp.int32)
 
     if rope_cos is not None:

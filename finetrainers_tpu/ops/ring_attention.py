@@ -67,7 +67,7 @@ def _ring_forward(q, k, v, axis_name: str, scale: float):
     for step in range(cp_size):
         block_q, block_kv = _ring_blocks(q.shape[2], k_cur.shape[2])
         out_i, lse_i = _flash_forward(
-            q, k_cur, v_cur, jnp.full((q.shape[0],), k_cur.shape[2], jnp.int32),
+            q, k_cur, v_cur, None,
             None, None, None, scale, False, block_q, block_kv,
         )
         out_i = out_i.astype(jnp.float32)
@@ -101,7 +101,7 @@ def _ring_mha_bwd(axis_name: str, scale: float, residuals, g):
     perm = _ring_perm(axis_name)
     inv_perm = [(dst, src) for src, dst in perm]
 
-    kv_lens = jnp.full((q.shape[0],), k.shape[2], jnp.int32)
+    kv_lens = None  # full-KV per hop: statically-unmasked kernel fast path
     dq = jnp.zeros_like(q, dtype=jnp.float32)
     dk_acc = jnp.zeros_like(k, dtype=jnp.float32)
     dv_acc = jnp.zeros_like(v, dtype=jnp.float32)

@@ -257,6 +257,28 @@ class SFTTrainer(Trainer):
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss, max_loss, grad_norm
 
+        def train_step_multi(trainable, frozen, opt_state, conditions, latent_conditions,
+                             rng, step_ids):
+            """K optimizer steps fused into one dispatch: lax.scan over batches
+            stacked on a leading axis. Each sub-step derives its rng as
+            fold_in(base_rng, absolute_step) — bit-identical to running the
+            steps through the host loop one at a time."""
+
+            def body(carry, xs):
+                t, o = carry
+                conds, lats, step_id = xs
+                t, o, loss, max_loss, gn = train_step(
+                    t, frozen, o, conds, lats, jax.random.fold_in(rng, step_id)
+                )
+                return (t, o), (loss, max_loss, gn)
+
+            (trainable, opt_state), (losses, maxes, gns) = jax.lax.scan(
+                body, (trainable, opt_state), (conditions, latent_conditions, step_ids)
+            )
+            return trainable, opt_state, jnp.mean(losses), jnp.max(maxes), gns[-1]
+
+        if getattr(args, "steps_per_dispatch", 1) > 1:
+            self._train_step_multi_fn = jax.jit(train_step_multi, donate_argnums=(0, 2))
         return jax.jit(train_step, donate_argnums=(0, 2))
 
     def _prepare_dataset(self) -> None:
@@ -400,9 +422,31 @@ class SFTTrainer(Trainer):
         self._batch_stream = batch_stream
 
         step_times: List[float] = []
+        spd = max(getattr(args, "steps_per_dispatch", 1), 1)
+        pending: List[Any] = []  # one-batch pushback when shapes change mid-group
         while train_state.step < args.train_steps and train_state.observed_data_samples < args.max_data_samples:
             with self.tracker.timed("timing/batch_prep"):
-                cond_batch, lat_batch = next(batch_stream)
+                cond_batch, lat_batch = pending.pop() if pending else next(batch_stream)
+
+            group = [(cond_batch, lat_batch)]
+            if spd > 1:
+                # Group up to spd batches, stopping at cadence boundaries so
+                # checkpoint/validation steps land exactly, and at shape changes
+                # (each resolution bucket is its own compiled program).
+                limit = min(
+                    spd,
+                    args.train_steps - train_state.step,
+                    *[c - (train_state.step % c) for c in (args.checkpointing_steps, args.validation_steps, args.logging_steps) if c and c > 0],
+                )
+                shapes = jax.tree_util.tree_map(lambda x: getattr(x, "shape", None), (cond_batch, lat_batch))
+                while len(group) < limit:
+                    with self.tracker.timed("timing/batch_prep"):
+                        nxt = next(batch_stream)
+                    if jax.tree_util.tree_map(lambda x: getattr(x, "shape", None), nxt) == shapes:
+                        group.append(nxt)
+                    else:
+                        pending.append(nxt)
+                        break
 
             if args.enable_profiling and train_state.step == args.profiling_start_step:
                 from ...utils.timing import ProfilerTrace
@@ -414,13 +458,22 @@ class SFTTrainer(Trainer):
 
             t0 = time.perf_counter()
             with self.tracker.timed("timing/train_step"), self.attention_provider_ctx(training=True):
-                step_rng = jax.random.fold_in(self.rng, train_state.step)
-                self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_fn(
-                    self._trainable, self._frozen, self._opt_state, cond_batch, lat_batch, step_rng
-                )
+                if len(group) > 1:
+                    conds = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[g[0] for g in group])
+                    lats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[g[1] for g in group])
+                    step_ids = jnp.arange(
+                        train_state.step, train_state.step + len(group), dtype=jnp.int32)
+                    self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_multi_fn(
+                        self._trainable, self._frozen, self._opt_state, conds, lats, self.rng, step_ids
+                    )
+                else:
+                    step_rng = jax.random.fold_in(self.rng, train_state.step)
+                    self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_fn(
+                        self._trainable, self._frozen, self._opt_state, cond_batch, lat_batch, step_rng
+                    )
 
-            train_state.step += 1
-            train_state.observed_data_samples += global_batch_size
+            train_state.step += len(group)
+            train_state.observed_data_samples += global_batch_size * len(group)
 
             if (getattr(self, "_profiler", None) is not None
                     and train_state.step >= args.profiling_start_step + args.profiling_num_steps):

@@ -256,6 +256,23 @@ class TestSFTTrainer:
             train_steps=4,
         )
 
+    def test_steps_per_dispatch_fused(self, tmp_path, tiny_dataset):
+        """--steps_per_dispatch fuses K optimizer steps into one lax.scan
+        dispatch; step counters and rng folding stay per-step so the run
+        completes the exact requested train_steps."""
+        trainer = _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8",
+             "--steps_per_dispatch", "3", "--logging_steps", "6",
+             "--checkpointing_steps", "6"],
+            train_steps=7,
+        )
+        assert trainer.state.train_state.step == 7
+        # cadence boundary at 6 must have produced a checkpoint despite fusion
+        ckpts = [d.name for d in pathlib.Path(tmp_path).rglob("finetrainers_step_*")]
+        assert any(name.endswith("_6") for name in ckpts), ckpts
+
     def test_gradient_checkpointing(self, tmp_path, tiny_dataset):
         _run_training(
             tmp_path, tiny_dataset,
