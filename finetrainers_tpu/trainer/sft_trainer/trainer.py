@@ -275,7 +275,7 @@ class SFTTrainer(Trainer):
             (trainable, opt_state), (losses, maxes, gns) = jax.lax.scan(
                 body, (trainable, opt_state), (conditions, latent_conditions, step_ids)
             )
-            return trainable, opt_state, jnp.mean(losses), jnp.max(maxes), gns[-1]
+            return trainable, opt_state, losses, maxes, gns
 
         if getattr(args, "steps_per_dispatch", 1) > 1:
             self._train_step_multi_fn = jax.jit(train_step_multi, donate_argnums=(0, 2))
@@ -436,7 +436,7 @@ class SFTTrainer(Trainer):
                 limit = min(
                     spd,
                     args.train_steps - train_state.step,
-                    *[c - (train_state.step % c) for c in (args.checkpointing_steps, args.validation_steps, args.logging_steps) if c and c > 0],
+                    *[c - (train_state.step % c) for c in (args.checkpointing_steps, args.validation_steps) if c and c > 0],
                 )
                 shapes = jax.tree_util.tree_map(lambda x: getattr(x, "shape", None), (cond_batch, lat_batch))
                 while len(group) < limit:
@@ -463,9 +463,12 @@ class SFTTrainer(Trainer):
                     lats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[g[1] for g in group])
                     step_ids = jnp.arange(
                         train_state.step, train_state.step + len(group), dtype=jnp.int32)
-                    self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_multi_fn(
+                    self._trainable, self._opt_state, losses_k, maxes_k, gns_k = self._train_step_multi_fn(
                         self._trainable, self._frozen, self._opt_state, conds, lats, self.rng, step_ids
                     )
+                    # last fused step's scalars drive the logging block below;
+                    # per-step histories record every fused step.
+                    loss, max_loss, grad_norm = losses_k[-1], maxes_k[-1], gns_k[-1]
                 else:
                     step_rng = jax.random.fold_in(self.rng, train_state.step)
                     self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_fn(
@@ -481,7 +484,13 @@ class SFTTrainer(Trainer):
                 logger.info(f"Profiler trace written to {self._profiler.log_dir}")
                 self._profiler = None
 
-            if train_state.step % args.logging_steps == 0:
+            # With fused dispatch a group may straddle a logging boundary;
+            # log whenever one was crossed (values from the group's last step).
+            crossed_logging = (
+                (train_state.step % args.logging_steps == 0)
+                or ((train_state.step - len(group)) // args.logging_steps != train_state.step // args.logging_steps)
+            )
+            if crossed_logging:
                 loss_f = float(loss)
                 step_times.append(time.perf_counter() - t0)
                 train_state.global_avg_losses.append(loss_f)
