@@ -71,6 +71,18 @@ def ltx_train_step_flops(cfg: dict, lora_rank: int, remat_factor: float) -> floa
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the remote compile server's latency for the
+    # full train step varies from ~4 min to >30 min; caching the executable
+    # makes reruns (and the driver's bench invocation) start in seconds.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
     import optax

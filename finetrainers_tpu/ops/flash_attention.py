@@ -108,6 +108,7 @@ def _fwd_kernel(
     has_mask: bool,
     has_rope: bool,
     has_kv_lens: bool,
+    cache_rope: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -125,6 +126,9 @@ def _fwd_kernel(
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
         rest = rest[4:]
+    if cache_rope:
+        # rope caches declared last in scratch_shapes
+        *rest, qrot_scr, krot_scr = rest
     o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -137,17 +141,35 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    if cache_rope:
+        # Rotation is VPU work worth ~20% of a grid cell at head_dim 64: cache
+        # rotated q per q-row (computed at kj==0) and rotated k per kv block
+        # (computed on the first q-row), reused by every later grid cell.
+        @pl.when(kj == 0)
+        def _rot_q():
+            qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
+            qrot_scr[:] = qr.astype(qrot_scr.dtype)
+
+        @pl.when(qi == 0)
+        def _rot_k():
+            kr = _rope_fwd(k_ref[0, 0].astype(jnp.float32), cos_k_ref[0], sin_k_ref[0])
+            krot_scr[pl.ds(kj * block_kv, block_kv), :] = kr.astype(krot_scr.dtype)
+
     kv_len = kv_lens_ref[b]
 
     def _compute():
         # Keep MXU operands in the INPUT dtype (bf16 in training) with fp32
         # accumulation — casting to fp32 first forces fp32 MXU passes, measured
         # ~3x slower at the flagship shape. Scale is applied to the f32 scores.
-        q = q_ref[0, 0]  # (bq, H)
-        k = k_ref[0, 0]  # (bkv, H)
-        if has_rope:
-            q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
-            k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+        if cache_rope:
+            q = qrot_scr[:]
+            k = krot_scr[pl.ds(kj * block_kv, block_kv), :]
+        else:
+            q = q_ref[0, 0]  # (bq, H)
+            k = k_ref[0, 0]  # (bkv, H)
+            if has_rope:
+                q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+                k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (bq, bkv) f32
@@ -282,6 +304,13 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
 
     grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
 
+    # Cache rotated q/k tiles in VMEM scratch when the grid revisits them and
+    # the rotated-K cache stays small (<= ~1MB); causal/masked paths may skip
+    # the writer cells, so they rotate inline instead.
+    cache_rope = (
+        has_rope and not has_mask and not causal and not has_segments
+        and kv_pad * head_dim * q.dtype.itemsize <= 1 << 20
+    )
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale,
@@ -290,6 +319,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         has_mask=has_mask,
         has_rope=has_rope,
         has_kv_lens=has_kv_lens,
+        cache_rope=cache_rope,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -339,7 +369,10 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, head_dim), jnp.float32),
-            ],
+            ] + ([
+                pltpu.VMEM((block_q, head_dim), q.dtype),
+                pltpu.VMEM((kv_pad, head_dim), k.dtype),
+            ] if cache_rope else []),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
@@ -369,6 +402,7 @@ def _bwd_dkdv_kernel(
     has_mask: bool,
     has_rope: bool,
     has_kv_lens: bool,
+    cache_rope: bool,  # unused here: dkdv's inner grid axis is q, no tile reuse
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -478,13 +512,14 @@ def _bwd_dq_kernel(
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dq_ref, dq_scr
+    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dq_ref, dq_scr [, rope caches]
     scale: float,
     causal: bool,
     has_segments: bool,
     has_mask: bool,
     has_rope: bool,
     has_kv_lens: bool,
+    cache_rope: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -502,6 +537,8 @@ def _bwd_dq_kernel(
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
         rest = rest[4:]
+    if cache_rope:
+        *rest, qrot_scr, krot_scr = rest
     dq_ref, dq_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -512,14 +549,29 @@ def _bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
+    if cache_rope:
+        @pl.when(kj == 0)
+        def _rot_q():
+            qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
+            qrot_scr[:] = qr.astype(qrot_scr.dtype)
+
+        @pl.when(qi == 0)
+        def _rot_k():
+            kr = _rope_fwd(k_ref[0, 0].astype(jnp.float32), cos_k_ref[0], sin_k_ref[0])
+            krot_scr[pl.ds(kj * block_kv, block_kv), :] = kr.astype(krot_scr.dtype)
+
     kv_len = kv_lens_ref[b]
 
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        if has_rope:
-            q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
-            k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+        if cache_rope:
+            q = qrot_scr[:]
+            k = krot_scr[pl.ds(kj * block_kv, block_kv), :]
+        else:
+            q = q_ref[0, 0]
+            k = k_ref[0, 0]
+            if has_rope:
+                q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+                k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0, :, :1].astype(jnp.float32)
@@ -604,6 +656,10 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
     deltap = _pad_to(delta, q_pad, 2)
     deltap = jnp.broadcast_to(deltap[..., None], (*deltap.shape, 8))
 
+    cache_rope = (
+        has_rope and not has_mask and not causal and not has_segments
+        and kv_pad * head_dim * q.dtype.itemsize <= 1 << 20
+    )
     common = dict(
         scale=scale,
         causal=causal,
@@ -611,6 +667,7 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
         has_mask=has_mask,
         has_rope=has_rope,
         has_kv_lens=has_kv_lens or kv_pad != kv_len,
+        cache_rope=cache_rope,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -706,7 +763,10 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, head_dim), jnp.float32),
-            ],
+            ] + ([
+                pltpu.VMEM((block_q, head_dim), q.dtype),
+                pltpu.VMEM((kv_pad, head_dim), k.dtype),
+            ] if cache_rope else []),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
