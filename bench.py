@@ -165,13 +165,25 @@ def main() -> None:
 
     # The axon tunnel pays a large fixed dispatch cost per execute call (the
     # call ships ~1k buffer handles); fusing FUSE_STEPS optimizer steps into one
-    # dispatch via lax.fori_loop amortizes it without changing semantics (each
-    # fused step folds its index into the rng exactly like the host loop).
+    # dispatch amortizes it without changing semantics (each fused step folds
+    # its index into the rng exactly like the host loop). Two modes:
+    #   fori   — lax.fori_loop carry (one while loop; cheap compile, but the
+    #            loop carry double-buffers and measured slower than unfused)
+    #   unroll — straight-line trace of FUSE steps (params flow through SSA,
+    #            XLA aliases freely; compile time scales with FUSE)
     FUSE = int(os.environ.get("BENCH_FUSE_STEPS", "1"))
+    FUSE_MODE = os.environ.get("BENCH_FUSE_MODE", "unroll")
 
     def train_step(trainable, frozen, opt_state, rng):
         if FUSE == 1:
             return one_step(trainable, opt_state, frozen, rng)
+
+        if FUSE_MODE == "unroll":
+            loss = jnp.zeros((), jnp.float32)
+            for i in range(FUSE):
+                trainable, opt_state, loss = one_step(
+                    trainable, opt_state, frozen, jax.random.fold_in(rng, i))
+            return trainable, opt_state, loss
 
         def body(i, carry):
             trainable, opt_state, _ = carry
@@ -197,11 +209,16 @@ def main() -> None:
     except Exception:
         pass
 
-    # Warm up, then time TIMED_STEPS sequential steps. Dispatch is
-    # async, so per-call tunnel latency (~40ms) overlaps device compute; only
-    # the final np.asarray forces completion.
-    trainable, opt_state, loss = step(trainable, frozen, opt_state, rng)
+    # Warm up, then time TIMED_STEPS sequential steps. Dispatch is async and
+    # costs ~1ms/step (measured: a donated 100-buffer jit dispatches in 1.3ms
+    # through the tunnel), so the loop runs back-to-back on device; only the
+    # final np.asarray forces completion. The rng fold_in helper MUST be warmed
+    # too: its first compile goes through the remote compile server (~0.9s) and
+    # previously landed inside the timed region, reading as a phantom ~90ms/step
+    # "dispatch overhead" at TIMED_STEPS=10 (xplane shows steps back-to-back).
+    trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, 0))
     _ = np.asarray(loss)
+    jax.block_until_ready(jax.random.fold_in(rng, 1))
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):
         trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, i + 1))
