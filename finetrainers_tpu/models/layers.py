@@ -19,6 +19,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import attention_dispatch
 
@@ -109,7 +110,11 @@ class RMSNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-        y = x32 * jax.lax.rsqrt(var + self.eps)
+        # Tagged so the "ops" remat policy can save the tiny f32 stat and skip
+        # re-running the full-width reduction in the backward (the multiply
+        # that follows is cheap and fuses into consumers).
+        rstd = checkpoint_name(jax.lax.rsqrt(var + self.eps), "norm_stat")
+        y = x32 * rstd
         if self.elementwise_affine:
             scale = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32)
             y = y * scale
@@ -128,9 +133,10 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        mean = checkpoint_name(jnp.mean(x32, axis=-1, keepdims=True), "norm_stat")
         var = jnp.var(x32, axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        rstd = checkpoint_name(jax.lax.rsqrt(var + self.eps), "norm_stat")
+        y = (x32 - mean) * rstd
         if self.elementwise_affine:
             scale = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32)
             y = y * scale

@@ -45,15 +45,17 @@ def get_checkpoint_policy(checkpoint_type: str = "full") -> Optional[Callable]:
         # recompute costs far more than the 11MB/layer it saves) — recompute
         # cheap elementwise/norm ops. The analog of the reference's
         # "save mm every 2nd + SDPA" selective policy.
+        # "norm_stat": f32 per-row norm statistics (rstd/mean) — ~10KB each;
+        # saving them removes the full-width reduction re-runs from backward.
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            jax.checkpoint_policies.save_only_these_names("attn_out"),
+            jax.checkpoint_policies.save_only_these_names("attn_out", "norm_stat"),
         )
     if checkpoint_type == "ops_narrow":
         # Like "ops" but WIDE dot outputs (minor dim > 4096 — the MLP hidden)
         # are recomputed in the backward instead of saved: trades one extra
         # ff1 matmul per block for ~44MB/block of activation-stack traffic.
-        names = jax.checkpoint_policies.save_only_these_names("attn_out")
+        names = jax.checkpoint_policies.save_only_these_names("attn_out", "norm_stat")
 
         def policy(prim, *args, **params):
             minor = _dot_out_minor_dim(prim, args, params)
