@@ -43,6 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_KV = 256
 _NEG_INF = -1e30
+# The softmax runs in base 2: q tiles are pre-scaled by scale*log2(e) so the
+# logits land directly in exp2 space. This removes two full-tile (bq, bkv) VPU
+# multiplies per grid cell — the explicit `s * scale` and the log2(e) multiply
+# hidden inside the exp lowering — from the VPU-bound softmax chain. The
+# emitted LSE stays in natural log (m*ln2 + log(l)) so ring/CP consumers and
+# saved residuals are unaffected.
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
 
 
 def _interpret() -> bool:
@@ -141,6 +149,8 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    qscale = scale * _LOG2E  # folded into the q tile; see _LOG2E note
+
     if cache_rope:
         # Rotation is VPU work worth ~20% of a grid cell at head_dim 64: cache
         # rotated q per q-row (computed at kj==0) and rotated k per kv block
@@ -148,7 +158,7 @@ def _fwd_kernel(
         @pl.when(kj == 0)
         def _rot_q():
             qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
-            qrot_scr[:] = qr.astype(qrot_scr.dtype)
+            qrot_scr[:] = (qr * qscale).astype(qrot_scr.dtype)
 
         @pl.when(qi == 0)
         def _rot_k():
@@ -160,7 +170,7 @@ def _fwd_kernel(
     def _compute():
         # Keep MXU operands in the INPUT dtype (bf16 in training) with fp32
         # accumulation — casting to fp32 first forces fp32 MXU passes, measured
-        # ~3x slower at the flagship shape. Scale is applied to the f32 scores.
+        # ~3x slower at the flagship shape.
         if cache_rope:
             q = qrot_scr[:]
             k = krot_scr[pl.ds(kj * block_kv, block_kv), :]
@@ -168,11 +178,13 @@ def _fwd_kernel(
             q = q_ref[0, 0]  # (bq, H)
             k = k_ref[0, 0]  # (bkv, H)
             if has_rope:
-                q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+                q = (_rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]) * qscale).astype(q.dtype)
                 k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+            else:
+                q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bkv) f32
+        )  # (bq, bkv) f32, base-2 logit space
 
         # Masking is STATIC where possible: the unmasked self-attention fast
         # path (no kv_lens, no causal, no segments, no dense mask — e.g. the
@@ -204,8 +216,8 @@ def _fwd_kernel(
         m_prev = m_scr[:, :1]  # (bq, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # (bq, bkv)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)  # (bq, bkv)
         if mask is not None:
             # Rows that are entirely invalid keep p≈exp(_NEG_INF-_NEG_INF)=1: re-mask.
             p = jnp.where(mask, p, 0.0)
@@ -240,7 +252,8 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log(l_safe)  # (bq, 1)
+        # m is a base-2 logit max; emit natural-log LSE (external contract).
+        lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)  # (bq, 1)
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
@@ -395,14 +408,14 @@ def _bwd_dkdv_kernel(
     do_ref,  # (1, 1, bq, H)
     lse_ref,  # (1, 1, bq, 8)
     delta_ref,  # (1, 1, bq, 8)
-    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dk_ref, dv_ref, dk_scr, dv_scr
+    *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dk_ref, dv_ref, dk_scr, dv_scr [, rope caches]
     scale: float,
     causal: bool,
     has_segments: bool,
     has_mask: bool,
     has_rope: bool,
     has_kv_lens: bool,
-    cache_rope: bool,  # unused here: dkdv's inner grid axis is q, no tile reuse
+    cache_rope: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -420,6 +433,8 @@ def _bwd_dkdv_kernel(
     if has_rope:
         cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
         rest = rest[4:]
+    if cache_rope:
+        *rest, qrot_scr, krot_scr = rest
     dk_ref, dv_ref, dk_scr, dv_scr = rest
     b = pl.program_id(0)
     kj = pl.program_id(2)
@@ -431,22 +446,44 @@ def _bwd_dkdv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
+    qscale = scale * _LOG2E  # folded into the q tile; see _LOG2E note
+
+    if cache_rope:
+        # kj is the OUTER grid axis here: rotated q tiles (written during the
+        # first kj pass) are reused by every later kv block; rotated k (written
+        # on each kj's first inner step) is reused across the qi sweep.
+        @pl.when(kj == 0)
+        def _rot_q():
+            qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
+            qrot_scr[pl.ds(qi * block_q, block_q), :] = (qr * qscale).astype(qrot_scr.dtype)
+
+        @pl.when(qi == 0)
+        def _rot_k():
+            kr = _rope_fwd(k_ref[0, 0].astype(jnp.float32), cos_k_ref[0], sin_k_ref[0])
+            krot_scr[:] = kr.astype(krot_scr.dtype)
+
     kv_len = kv_lens_ref[b]
 
     def _compute():
-        q = q_ref[0, 0]  # (bq, H) input dtype (bf16 fast path on the MXU)
-        k = k_ref[0, 0]  # (bkv, H)
-        if has_rope:
-            q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
-            k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+        if cache_rope:
+            q = qrot_scr[pl.ds(qi * block_q, block_q), :]
+            k = krot_scr[:]
+        else:
+            q = q_ref[0, 0]  # (bq, H) input dtype (bf16 fast path on the MXU)
+            k = k_ref[0, 0]  # (bkv, H)
+            if has_rope:
+                q = (_rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]) * qscale).astype(q.dtype)
+                k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+            else:
+                q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
         v = v_ref[0, 0]
         do = do_ref[0, 0]  # (bq, H)
-        lse = lse_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
+        lse = lse_ref[0, 0, :, :1].astype(jnp.float32) * _LOG2E  # (bq, 1) base-2
         delta = delta_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bkv) f32
+        )  # (bq, bkv) f32, base-2 logit space
         mask = None
         if has_kv_lens:
             col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -461,7 +498,7 @@ def _bwd_dkdv_kernel(
             mask = sm if mask is None else jnp.logical_and(mask, sm)
         if mask_ref is not None:
             s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
-        p = jnp.exp(s - lse)  # (bq, bkv); padded q rows have lse=+inf -> p=0
+        p = jnp.exp2(s - lse)  # (bq, bkv); padded q rows have lse=+inf -> p=0
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
 
@@ -469,12 +506,13 @@ def _bwd_dkdv_kernel(
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # dp = dO @ V^T ; ds = P * (dp - delta) * scale
+        # dp = dO @ V^T ; ds = P * (dp - delta)  (scale folded into q; the
+        # accumulated dk therefore carries a log2(e)*... factor undone at emit)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bkv) f32
-        ds = p * (dp - delta) * scale
-        # dk += dS^T @ Q
+        ds = p * (dp - delta)
+        # dk += dS^T @ (scale*log2e * Q)
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -495,7 +533,9 @@ def _bwd_dkdv_kernel(
 
     @pl.when(qi == num_q - 1)
     def _emit():
-        dk = dk_scr[:]
+        # dk_scr = sum ds^T @ (scale*log2e*q_rot) with ds missing its *scale:
+        # net surplus factor is log2e, undone here (ln2 = 1/log2e).
+        dk = dk_scr[:] * _LN2
         if has_rope:
             # kernel accumulates d(k_rot); return d(raw k) = R^T d(k_rot)
             dk = _rope_bwd(dk, cos_k_ref[0], sin_k_ref[0])
@@ -549,11 +589,13 @@ def _bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
+    qscale = scale * _LOG2E  # folded into the q tile; see _LOG2E note
+
     if cache_rope:
         @pl.when(kj == 0)
         def _rot_q():
             qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
-            qrot_scr[:] = qr.astype(qrot_scr.dtype)
+            qrot_scr[:] = (qr * qscale).astype(qrot_scr.dtype)
 
         @pl.when(qi == 0)
         def _rot_k():
@@ -570,16 +612,18 @@ def _bwd_dq_kernel(
             q = q_ref[0, 0]
             k = k_ref[0, 0]
             if has_rope:
-                q = _rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]).astype(q.dtype)
+                q = (_rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]) * qscale).astype(q.dtype)
                 k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+            else:
+                q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0, :, :1].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, :1].astype(jnp.float32) * _LOG2E  # base-2
         delta = delta_ref[0, 0, :, :1].astype(jnp.float32)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )  # (bq, bkv) f32, base-2 logit space
         mask = None
         if has_kv_lens:
             col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -594,13 +638,13 @@ def _bwd_dq_kernel(
             mask = sm if mask is None else jnp.logical_and(mask, sm)
         if mask_ref is not None:
             s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
-        p = jnp.exp(s - lse)  # padded q rows have lse=+inf -> p=0
+        p = jnp.exp2(s - lse)  # padded q rows have lse=+inf -> p=0
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta)  # *scale deferred to emit (folded into q)
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -621,7 +665,7 @@ def _bwd_dq_kernel(
 
     @pl.when(kj == num_kv - 1)
     def _emit():
-        dq = dq_scr[:]
+        dq = dq_scr[:] * scale  # ds was accumulated without its *scale
         if has_rope:
             dq = _rope_bwd(dq, cos_q_ref[0], sin_q_ref[0])
         dq_ref[0, 0] = dq.astype(dq_ref.dtype)
@@ -659,6 +703,7 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
     cache_rope = (
         has_rope and not has_mask and not causal and not has_segments
         and kv_pad * head_dim * q.dtype.itemsize <= 1 << 20
+        and q_pad * head_dim * q.dtype.itemsize <= 1 << 20  # dkdv full-q cache
     )
     common = dict(
         scale=scale,
@@ -736,7 +781,10 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
             scratch_shapes=[
                 pltpu.VMEM((block_kv, head_dim), jnp.float32),
                 pltpu.VMEM((block_kv, head_dim), jnp.float32),
-            ],
+            ] + ([
+                pltpu.VMEM((q_pad, head_dim), q.dtype),
+                pltpu.VMEM((block_kv, head_dim), k.dtype),
+            ] if cache_rope else []),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), k.dtype),
