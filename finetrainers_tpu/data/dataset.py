@@ -346,7 +346,18 @@ class ValidationDataset:
 
 
 class IterableDatasetPreprocessingWrapper:
-    """Decode + bucket + caption cleanup (reference dataset.py:677-773)."""
+    """Decode + bucket + caption cleanup (reference dataset.py:677-773).
+
+    With ``decode_workers > 0``, decode/resize runs on an order-preserving
+    thread pool (the reference's torchdata StatefulDataLoader worker analog):
+    the stateful source is still pulled serially on the consumer thread, but
+    the expensive `_process` (cv2 decode + bucket resize) of up to
+    ``decode_workers + 2`` samples runs concurrently. Resume-exactness is kept
+    by snapshotting the source state as each raw sample is pulled and exposing
+    the snapshot of the LAST YIELDED sample from ``state_dict()`` — samples
+    sitting decoded-but-unconsumed in the pool are re-decoded after a resume,
+    never skipped.
+    """
 
     def __init__(
         self,
@@ -358,6 +369,7 @@ class IterableDatasetPreprocessingWrapper:
         reshape_mode: str = "bicubic",
         remove_common_llm_caption_prefixes: bool = False,
         rename_columns: Optional[Dict[str, str]] = None,
+        decode_workers: int = 0,
         **kwargs,
     ) -> None:
         self.dataset = dataset
@@ -368,13 +380,49 @@ class IterableDatasetPreprocessingWrapper:
         self.reshape_mode = reshape_mode
         self.remove_common_llm_caption_prefixes = remove_common_llm_caption_prefixes
         self.rename_columns = rename_columns or {}
+        self.decode_workers = decode_workers
+        self._consumed_state: Optional[Dict[str, Any]] = None
         self._precomputable_once = getattr(dataset, "_precomputable_once", False)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.decode_workers > 0 and hasattr(self.dataset, "state_dict"):
+            yield from self._iter_parallel()
+            return
         for sample in self.dataset:
             out = self._process(sample)
             if out is not None:
                 yield out
+
+    def _iter_parallel(self) -> Iterator[Dict[str, Any]]:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(self.dataset)
+        pending: "collections.deque" = collections.deque()
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+
+            def pull() -> bool:
+                try:
+                    raw = next(it)
+                except StopIteration:
+                    return False
+                # snapshot AFTER the pull: "consumed through this sample"
+                snap = self.dataset.state_dict()
+                pending.append((pool.submit(self._process, raw), snap))
+                return True
+
+            for _ in range(self.decode_workers + 2):
+                if not pull():
+                    break
+            while pending:
+                fut, snap = pending.popleft()
+                pull()
+                out = fut.result()
+                # publish before yield: a downstream batch snapshot taken
+                # while the consumer holds this sample must include it.
+                self._consumed_state = snap
+                if out is not None:
+                    yield out
 
     def _process(self, sample: Dict[str, Any]) -> Optional[Dict[str, Any]]:
         if self.rename_columns:
@@ -440,10 +488,13 @@ class IterableDatasetPreprocessingWrapper:
         return value if isinstance(value, np.ndarray) else load_video(value)
 
     def state_dict(self):
+        if self._consumed_state is not None:
+            return self._consumed_state
         return self.dataset.state_dict()
 
     def load_state_dict(self, state):
         self.dataset.load_state_dict(state)
+        self._consumed_state = None
 
 
 class IterableCombinedDataset:

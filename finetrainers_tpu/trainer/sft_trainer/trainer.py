@@ -303,6 +303,10 @@ class SFTTrainer(Trainer):
                     "reshape_mode": entry.get("reshape_mode", "bicubic"),
                     "remove_common_llm_caption_prefixes": entry.get("remove_common_llm_caption_prefixes", False),
                     "rename_columns": entry.get("rename_columns"),
+                    # reference: torchdata StatefulDataLoader num_workers decode
+                    # parallelism; here an order-preserving decode pool inside
+                    # the preprocessing wrapper (resume-exact, see dataset.py).
+                    "decode_workers": args.dataloader_num_workers,
                 },
             )
             datasets.append(wrapped)

@@ -222,6 +222,62 @@ class TestPreprocessingWrapper:
         assert sample["video"].shape == (4, 3, 32, 32)
 
 
+class TestParallelDecode:
+    """decode_workers > 0: order-preserving threaded decode, resume-exact
+    state (the torchdata StatefulDataLoader num_workers analog; reference
+    data/dataloader.py:13-40)."""
+
+    def _make(self, tmp_path, n=8):
+        for i in range(n):
+            _write_png(tmp_path / f"{i:02d}.png")
+            (tmp_path / f"{i:02d}.txt").write_text(f"caption {i}")
+
+    def _wrap(self, tmp_path, workers):
+        ds = ImageCaptionFilePairDataset(str(tmp_path))
+        return wrap_iterable_dataset_for_preprocessing(
+            ds, "image",
+            {"image_resolution_buckets": [(32, 32)], "decode_workers": workers},
+        )
+
+    def test_order_matches_serial(self, tmp_path):
+        self._make(tmp_path)
+        serial = [s["caption"] for s in self._wrap(tmp_path, 0)]
+        parallel = [s["caption"] for s in self._wrap(tmp_path, 3)]
+        assert parallel == serial
+        assert len(parallel) == 8
+
+    def test_state_reflects_consumed_not_prefetched(self, tmp_path):
+        self._make(tmp_path)
+        wrapped = self._wrap(tmp_path, 4)
+        it = iter(wrapped)
+        consumed = [next(it)["caption"] for _ in range(2)]
+        # the pool has pulled up to 4+2 samples ahead; the published state
+        # must cover exactly the 2 consumed ones
+        state = wrapped.state_dict()
+        fresh = self._wrap(tmp_path, 0)
+        fresh.load_state_dict(state)
+        rest = [s["caption"] for s in fresh]
+        assert consumed + rest == [f"caption {i}" for i in range(8)]
+
+    def test_resume_into_parallel_wrapper(self, tmp_path):
+        self._make(tmp_path)
+        wrapped = self._wrap(tmp_path, 2)
+        it = iter(wrapped)
+        consumed = [next(it)["caption"] for _ in range(5)]
+        state = wrapped.state_dict()
+        fresh = self._wrap(tmp_path, 2)
+        fresh.load_state_dict(state)
+        rest = [s["caption"] for s in fresh]
+        assert consumed + rest == [f"caption {i}" for i in range(8)]
+
+    def test_decoded_output_matches_serial(self, tmp_path):
+        self._make(tmp_path, n=4)
+        serial = [s["image"] for s in self._wrap(tmp_path, 0)]
+        parallel = [s["image"] for s in self._wrap(tmp_path, 3)]
+        for a, b in zip(serial, parallel):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestValidationDataset:
     def test_csv_aliases_and_types(self, tmp_path):
         path = tmp_path / "val.csv"
