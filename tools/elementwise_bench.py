@@ -24,7 +24,7 @@ import numpy as np
 
 B, S, D = 1, 2688, 2048
 FF = 8192
-REPS = 50
+REPS = int(os.environ.get("BENCH_REPS", "50"))
 
 VARIANTS = {}
 
@@ -42,7 +42,9 @@ def _ln(x, aux):
     mean = jnp.mean(x32, axis=-1)
     var = jnp.mean(x32 * x32, axis=-1) - mean * mean
     y = (x32 - mean[..., None]) * jax.lax.rsqrt(var[..., None] + 1e-6)
-    return y.astype(x.dtype), (mean, var)
+    # fold stats into the output so they materialize (the model saves them)
+    y = y + (mean + var)[..., None] * 1e-6
+    return y.astype(x.dtype), None
 
 
 @variant("modulate_slicewise")  # adaLN: x*(1+scale)+shift, slice-wise vectors
@@ -69,17 +71,21 @@ def _chain(x, aux):
 
 @variant("gelu_ff")  # gelu over the (S, FF) hidden (tanh approx, as the models use)
 def _gelu(x, aux):
-    h = aux[0]
+    # h must depend on the chained x, else XLA hoists the gelu out of the
+    # 28-application loop and the measurement reads below the bandwidth floor.
+    h = aux[0] + x[:, :1] * 1e-6  # (S,1) broadcast keeps h inside the chain
     g = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
-    # reduce back to (S, D) so the chained q update stays shape-stable
     return x + g[:, : D] * 1e-6, None
 
 
 @variant("stack_write")  # activation-stack DUS write analog (28, S, D)
 def _stack(x, aux):
-    stack = aux[0]
-    stack = jax.lax.dynamic_update_slice(stack, x[None], (7, 0, 0))
-    return x + stack[7] * 1e-6, None
+    # the stack is THREADED through the chain (returned as new aux) so each
+    # DUS's input buffer is dead afterwards and XLA can write in place — the
+    # model's scan carry has exactly this aliasing. A non-threaded stack
+    # forces a full 118 MB copy per write and measures ~1 ms/op.
+    stack = jax.lax.dynamic_update_slice(aux[0], x[None], (7, 0, 0))
+    return x + stack[7] * 1e-6, (stack,)
 
 
 def make_aux(name):
@@ -107,9 +113,12 @@ def run(name, fn):
     def step(x, aux):
         # 28 chained applications (one per transformer block) inside ONE jit:
         # the tunnel's ~0.7 ms per-dispatch overhead amortizes to ~25 us/op,
-        # giving real per-op device time.
+        # giving real per-op device time. aux threads through so stateful
+        # variants (stack_write) keep in-place aliasing.
         for _ in range(28):
-            out, _ = fn(x, aux)
+            out, new_aux = fn(x, aux)
+            if new_aux is not None:
+                aux = new_aux
             x = out * (1.0 - 1e-6)
         return x, jnp.sum(out[:8, :8].astype(jnp.float32))
 
