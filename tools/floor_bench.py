@@ -1,22 +1,26 @@
-"""Memory-floor + throughput benchmark: CogVideoX-5B T2V LoRA on ONE v5e chip.
+"""Memory-floor + throughput benchmarks for the reference's headline table.
 
-The reference's headline numbers are min-VRAM floors (reference README:95-109):
-CogVideoX-5B LoRA needs **18 GB** on a single GPU at 49x512x768, rank 128, FP8
-weight storage, gradient checkpointing, precomputation. This script runs the
-same conditions through the REAL `models/cogvideox` spec forward (posterior
-sampling, DDIM v-pred objective, per-batch timesteps) on a single 16 GB v5e
-chip and reports XLA's static peak-HBM assignment plus steps/sec — the
-counterpart of bench.py for the second-largest family in the reference's table.
+The reference's headline numbers are min-VRAM floors (reference README:95-109)
+at 49x512x768, LoRA rank 128, FP8 weight storage, gradient checkpointing,
+precomputation:
 
-Conditions (mirroring the reference footnotes, README:108-109):
-  49f x 512 x 768 -> CogVideoX VAE (8x spatial, 4x temporal): latents
-  (B, 13, 16, 64, 96), patch 2 -> 13*32*48 = 19968 video tokens + 226 text.
-  LoRA rank 128 (fp32 factors), frozen weights stored float8_e4m3fn
-  (--layerwise_upcasting_modules transformer), full per-block remat, bf16
-  compute, AdamW.
+  LTX-Video LoRA        5 GB   (bench.py covers LTX throughput + peak HBM)
+  CogVideoX-5B LoRA    18 GB   -> BENCH_FAMILY=cogvideox_5b (default), 1 chip
+  HunyuanVideo LoRA    32 GB   -> BENCH_FAMILY=hunyuan_video; ~12.6 GB of fp8
+                                  weights cannot fit one 16 GB v5e, so run with
+                                  BENCH_SHARDS=N (FSDP param/opt sharding) and
+                                  report the per-chip static assignment.
 
-Prints ONE JSON line like bench.py. Not wired into the driver contract —
-bench.py stays the flagship metric; this records the BASELINE.md memory rows.
+Each family runs the REAL spec forward (posterior sampling, family objective,
+LoRA rank 128 fp32 factors, fp8 frozen storage, full per-block remat, bf16
+compute, AdamW) and prints ONE JSON line with XLA's static peak-HBM
+(per device) and steps/sec. Not wired into the driver contract — bench.py
+stays the flagship metric; this records the BASELINE.md memory rows.
+
+Env: BENCH_FAMILY, BENCH_SHARDS (dp_shard FSDP degree; static memory is
+per-device and valid on a forced-CPU mesh), BENCH_MEM_ONLY=1 (stop after the
+memory analysis), BENCH_FP8=0 (bf16 frozen weights), BENCH_REMAT, BENCH_TINY=1
+(plumbing smoke test), BENCH_TIMED_STEPS.
 """
 
 from __future__ import annotations
@@ -31,29 +35,127 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TIMED_STEPS = int(os.environ.get("BENCH_TIMED_STEPS", "3"))
 V5E_PEAK_FLOPS = 197e12
 B = 1
-F_LAT, H_LAT, W_LAT = 13, 64, 96  # 49x512x768 through the CogVideoX VAE
-L_CTX = 226
 LORA_RANK = 128
+TINY = os.environ.get("BENCH_TINY") == "1"
 
 
-def cogvideox_train_step_flops(cfg: dict, lora_rank: int, remat_factor: float) -> float:
-    """Analytic matmul FLOPs (joint text+video attention, 4x GELU FF)."""
-    d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
-    nl = cfg["num_layers"]
-    p = cfg["patch_size"]
-    s_vid = F_LAT * (H_LAT // p) * (W_LAT // p)
-    s = s_vid + L_CTX
+def _attn_ff_flops(s: int, d: int, lora_rank: int) -> float:
+    """Per-layer matmul FLOPs: q,k,v,out + joint scores + 4x GELU FF + LoRA."""
+    fl = 4 * 2 * s * d * d
+    fl += 2 * 2 * s * s * d
+    fl += 2 * 2 * s * d * 4 * d
+    fl += 6 * 2 * s * (d * lora_rank + lora_rank * d)
+    return fl
 
-    per_layer = 0.0
-    per_layer += 4 * 2 * s * d * d            # q,k,v,out projections (joint seq)
-    per_layer += 2 * 2 * s * s * d            # scores + weighted sum
-    per_layer += 2 * 2 * s * d * 4 * d        # ff in + out
-    per_layer += 6 * 2 * s * (d * lora_rank + lora_rank * d)
-    fwd = nl * per_layer
-    fwd += B * s_vid * 2 * (cfg["in_channels"] * p * p * d)   # patch embed
-    fwd += B * L_CTX * 2 * (cfg["text_embed_dim"] * d)        # text proj
-    fwd += B * s_vid * 2 * (d * cfg["out_channels"] * p * p)  # proj_out
-    return fwd * B * (2.0 + remat_factor)
+
+def setup_cogvideox(jnp):
+    from finetrainers_tpu.models.cogvideox.base_specification import (
+        COGVIDEOX_5B_CONFIG,
+        CogVideoXModelSpecification,
+    )
+    from finetrainers_tpu.models.cogvideox.transformer import CogVideoXTransformer3DModel
+
+    cfg = dict(COGVIDEOX_5B_CONFIG)
+    f_lat, h_lat, w_lat, l_ctx = 13, 64, 96, 226  # 49x512x768 through the VAE
+    if TINY:
+        cfg.update(num_layers=2, num_attention_heads=4, attention_head_dim=16)
+        f_lat, h_lat, w_lat, l_ctx = 2, 8, 8, 16
+    spec = CogVideoXModelSpecification(
+        pretrained_model_name_or_path="floor-bench-random-init",
+        transformer_config=cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK,
+    )
+
+    def make_module(checkpoint):
+        return CogVideoXTransformer3DModel(
+            **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
+            use_scan=True, gradient_checkpointing=checkpoint,
+        )
+
+    def init_args():
+        return (
+            jnp.zeros((B, f_lat, cfg["in_channels"], h_lat, w_lat)),
+            jnp.zeros((B, l_ctx, cfg["text_embed_dim"])),
+            jnp.zeros((B,)),
+        )
+
+    conditions = {
+        "encoder_hidden_states": jnp.zeros((B, l_ctx, cfg["text_embed_dim"]), jnp.bfloat16),
+        "encoder_attention_mask": jnp.ones((B, l_ctx), jnp.int32),
+    }
+    latent_conditions = {
+        # frames-first VAE moments (B, F, 2C, H, W), as prepare_latents emits
+        "latents": jnp.zeros((B, f_lat, 2 * cfg["in_channels"], h_lat, w_lat), jnp.float32),
+    }
+
+    def flops(remat_factor: float) -> float:
+        d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+        p = cfg["patch_size"]
+        s = f_lat * (h_lat // p) * (w_lat // p) + l_ctx
+        fwd = cfg["num_layers"] * _attn_ff_flops(s, d, LORA_RANK)
+        return fwd * B * (2.0 + remat_factor)
+
+    return spec, make_module, init_args, conditions, latent_conditions, flops, 18
+
+
+def setup_hunyuan(jnp):
+    from finetrainers_tpu.models.hunyuan_video.base_specification import (
+        HUNYUAN_VIDEO_CONFIG,
+        HunyuanVideoModelSpecification,
+    )
+    from finetrainers_tpu.models.hunyuan_video.transformer import HunyuanVideoTransformer3DModel
+
+    cfg = dict(HUNYUAN_VIDEO_CONFIG)
+    f_lat, h_lat, w_lat, l_ctx = 13, 64, 96, 256  # 49x512x768 through the VAE
+    if TINY:
+        # head_dim stays 128: the axial RoPE split (16/56/56) is tied to it
+        cfg.update(num_layers=1, num_single_layers=2, num_refiner_layers=1,
+                   num_attention_heads=2)
+        f_lat, h_lat, w_lat, l_ctx = 2, 8, 8, 16
+    spec = HunyuanVideoModelSpecification(
+        pretrained_model_name_or_path="floor-bench-random-init",
+        transformer_config=cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK,
+    )
+
+    def make_module(checkpoint):
+        return HunyuanVideoTransformer3DModel(
+            **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
+            use_scan=True, gradient_checkpointing=checkpoint,
+        )
+
+    def init_args():
+        return (
+            jnp.zeros((B, cfg["in_channels"], 1, 2 * cfg["patch_size"], 2 * cfg["patch_size"])),
+            jnp.zeros((B, 8, cfg["text_embed_dim"])),
+            jnp.zeros((B,)),
+            jnp.zeros((B, cfg["pooled_projection_dim"])),
+        )
+
+    conditions = {
+        "encoder_hidden_states": jnp.zeros((B, l_ctx, cfg["text_embed_dim"]), jnp.bfloat16),
+        "encoder_attention_mask": jnp.ones((B, l_ctx), jnp.int32),
+        "pooled_projections": jnp.zeros((B, cfg["pooled_projection_dim"]), jnp.bfloat16),
+    }
+    latent_conditions = {
+        # channels-first VAE moments (B, 2C, F, H, W)
+        "latents": jnp.zeros((B, 2 * cfg["in_channels"], f_lat, h_lat, w_lat), jnp.float32),
+    }
+
+    def flops(remat_factor: float) -> float:
+        # Approximate: dual blocks run attn+ff on the joint stream (video+text
+        # params counted once at joint length), single blocks likewise; the
+        # 2 text-refiner layers (256 tokens) are negligible.
+        d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+        p = cfg["patch_size"]
+        s = f_lat * (h_lat // p) * (w_lat // p) + l_ctx
+        per_dual = 2 * _attn_ff_flops(s, d, LORA_RANK)  # separate stream params
+        per_single = _attn_ff_flops(s, d, LORA_RANK)
+        fwd = cfg["num_layers"] * per_dual + cfg["num_single_layers"] * per_single
+        return fwd * B * (2.0 + remat_factor)
+
+    return spec, make_module, init_args, conditions, latent_conditions, flops, 32
+
+
+FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan}
 
 
 def main() -> None:
@@ -72,42 +174,24 @@ def main() -> None:
     import optax
 
     from finetrainers_tpu.lora import lora_mask, merge_params, split_params
-    from finetrainers_tpu.models.cogvideox.base_specification import (
-        COGVIDEOX_5B_CONFIG,
-        CogVideoXModelSpecification,
-    )
-    from finetrainers_tpu.models.cogvideox.transformer import CogVideoXTransformer3DModel
     from finetrainers_tpu.models.modeling_utils import ModelHandle
     from finetrainers_tpu.utils.fp8 import apply_layerwise_storage_dtype
 
+    family = os.environ.get("BENCH_FAMILY", "cogvideox_5b")
+    shards = int(os.environ.get("BENCH_SHARDS", "1"))
     checkpoint = os.environ.get("BENCH_REMAT", "full")
     checkpoint = None if checkpoint == "none" else checkpoint
 
-    cfg = dict(COGVIDEOX_5B_CONFIG)
-    global F_LAT, H_LAT, W_LAT, L_CTX
-    if os.environ.get("BENCH_TINY") == "1":  # plumbing smoke test (CPU)
-        cfg.update(num_layers=2, num_attention_heads=4, attention_head_dim=16)
-        F_LAT, H_LAT, W_LAT, L_CTX = 2, 8, 8, 16
-    spec = CogVideoXModelSpecification(
-        pretrained_model_name_or_path="floor-bench-random-init",
-        transformer_config=cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK,
+    spec, make_module, init_args, conditions, latent_conditions, flops_fn, ref_floor = (
+        FAMILIES[family](jnp)
     )
-    module = CogVideoXTransformer3DModel(
-        **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
-        use_scan=True, gradient_checkpointing=checkpoint,
-    )
+    module = make_module(checkpoint)
 
     shapes = jax.eval_shape(
-        lambda r: module.init(
-            r,
-            jnp.zeros((B, F_LAT, cfg["in_channels"], H_LAT, W_LAT)),
-            jnp.zeros((B, L_CTX, cfg["text_embed_dim"])),
-            jnp.zeros((B,)),
-        )["params"],
-        jax.random.PRNGKey(0),
+        lambda r: module.init(r, *init_args())["params"], jax.random.PRNGKey(0)
     )
     # Split on the SHAPE tree and materialize every frozen leaf directly in its
-    # final storage dtype: creating 10 GB of bf16 zeros and THEN fp8-casting
+    # final storage dtype: creating 10+ GB of bf16 zeros and THEN fp8-casting
     # keeps both copies live and OOMs a 16 GB chip before the step even runs.
     # (The trainer avoids this differently: it casts host-side safetensors
     # shards as they stream in.)
@@ -135,17 +219,7 @@ def main() -> None:
     del template
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
-    opt_state = jax.jit(optimizer.init)(trainable)
-    handle_cfg = dict(cfg)
-
-    conditions = {
-        "encoder_hidden_states": jnp.zeros((B, L_CTX, cfg["text_embed_dim"]), jnp.bfloat16),
-        "encoder_attention_mask": jnp.ones((B, L_CTX), jnp.int32),
-    }
-    latent_conditions = {
-        # frames-first VAE moments (B, F, 2C, H, W), as prepare_latents emits
-        "latents": jnp.zeros((B, F_LAT, 2 * cfg["in_channels"], H_LAT, W_LAT), jnp.float32),
-    }
+    handle_cfg = dict(spec.transformer_config)
 
     def train_step(trainable, frozen, opt_state, rng):
         sigmas = jax.random.uniform(rng, (B,))
@@ -163,6 +237,32 @@ def main() -> None:
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
+    if shards > 1:
+        # FSDP: params + opt state sharded over dp_shard (same inference rules
+        # the trainer uses); static memory below is PER DEVICE.
+        from finetrainers_tpu.parallel import (
+            MeshEnv,
+            ParallelDims,
+            derive_opt_state_shardings,
+            make_param_shardings,
+            shard_pytree,
+        )
+
+        env = MeshEnv(ParallelDims(dp_replicate=1, dp_shard=shards, cp=1, tp=1))
+        params_tree = merge_params(trainable, frozen)
+        shardings = make_param_shardings(params_tree, env.mesh, tp_rules=spec.tp_rules())
+        t_shard = jax.tree_util.tree_map(
+            lambda m, s: s if m else None, mask, shardings)
+        f_shard = jax.tree_util.tree_map(
+            lambda m, s: None if m else s, mask, shardings)
+        trainable = shard_pytree(trainable, t_shard)
+        frozen = shard_pytree(frozen, f_shard)
+        abstract_opt = jax.eval_shape(optimizer.init, trainable)
+        opt_shardings = derive_opt_state_shardings(abstract_opt, t_shard, env.mesh)
+        opt_state = jax.jit(optimizer.init, out_shardings=opt_shardings)(trainable)
+    else:
+        opt_state = jax.jit(optimizer.init)(trainable)
+
     rng = jax.random.PRNGKey(0)
     step = jax.jit(train_step, donate_argnums=(0, 2)).lower(
         trainable, frozen, opt_state, rng
@@ -173,13 +273,14 @@ def main() -> None:
         mem_gb = round(
             (ma.argument_size_in_bytes + ma.output_size_in_bytes - ma.alias_size_in_bytes
              + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes) / 2**30, 2)
-        print(f"static peak HBM: {mem_gb} GB  (args {ma.argument_size_in_bytes/2**30:.2f}, "
+        print(f"static peak HBM/device: {mem_gb} GB  (args {ma.argument_size_in_bytes/2**30:.2f}, "
               f"out {ma.output_size_in_bytes/2**30:.2f}, alias {ma.alias_size_in_bytes/2**30:.2f}, "
               f"temp {ma.temp_size_in_bytes/2**30:.2f}, code {ma.generated_code_size_in_bytes/2**30:.2f})",
               flush=True)
     except Exception as e:
         print(f"static peak HBM unavailable: {e}", flush=True)
     if os.environ.get("BENCH_MEM_ONLY") == "1":
+        _emit(family, shards, checkpoint, None, None, mem_gb, ref_floor)
         return
 
     trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, 0))
@@ -191,19 +292,23 @@ def main() -> None:
     _ = np.asarray(loss)
     elapsed = (time.perf_counter() - t0) / TIMED_STEPS
 
-    steps_per_sec = 1.0 / elapsed
     remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_narrow": 0.15, None: 0.0}[checkpoint]
-    flops = cogvideox_train_step_flops(cfg, LORA_RANK, remat_factor)
-    tflops = flops * steps_per_sec / 1e12
+    tflops = flops_fn(remat_factor) / elapsed / 1e12
+    _emit(family, shards, checkpoint, 1.0 / elapsed, tflops, mem_gb, ref_floor)
+
+
+def _emit(family, shards, checkpoint, steps_per_sec, tflops, mem_gb, ref_floor):
     print(json.dumps({
-        "metric": "train_step_cogvideox_5b_lora_49x512x768_fp8",
-        "value": round(steps_per_sec, 5),
-        "unit": "steps/sec/chip",
-        "seconds_per_step": round(elapsed, 3),
-        "model_tflops_per_sec": round(tflops, 2),
-        "mfu_vs_v5e_peak": round(tflops * 1e12 / V5E_PEAK_FLOPS, 4),
-        "peak_hbm_gb": mem_gb,
-        "reference_floor_gb": 18,
+        "metric": f"train_step_{family}_lora_49x512x768_fp8"
+                  + (f"_fsdp{shards}" if shards > 1 else ""),
+        "value": round(steps_per_sec, 5) if steps_per_sec else None,
+        "unit": "steps/sec",
+        "seconds_per_step": round(1.0 / steps_per_sec, 3) if steps_per_sec else None,
+        "model_tflops_per_sec": round(tflops, 2) if tflops else None,
+        "mfu_vs_v5e_peak": round(tflops * 1e12 / V5E_PEAK_FLOPS, 4) if tflops else None,
+        "peak_hbm_gb_per_device": mem_gb,
+        "reference_floor_gb": ref_floor,
+        "dp_shards": shards,
         "remat": checkpoint or "none",
     }))
 
