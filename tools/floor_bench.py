@@ -248,7 +248,8 @@ def main() -> None:
             shard_pytree,
         )
 
-        env = MeshEnv(ParallelDims(dp_replicate=1, dp_shard=shards, cp=1, tp=1))
+        env = MeshEnv(ParallelDims(dp_replicate=1, dp_shard=shards, cp=1, tp=1),
+                      devices=jax.devices()[:shards])
         params_tree = merge_params(trainable, frozen)
         shardings = make_param_shardings(params_tree, env.mesh, tp_rules=spec.tp_rules())
         t_shard = jax.tree_util.tree_map(
