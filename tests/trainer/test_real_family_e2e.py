@@ -205,3 +205,57 @@ class TestImageFamilyE2E:
 
         state, _ = load_lora_weights(str(exports[-1]))
         assert any(".lora_A.weight" in k for k in state)
+
+
+class TestHunyuanFamilyE2E:
+    """HunyuanVideo through the FULL loop: dual+single-stream blocks, token
+    refiner, pooled projections, guidance-distilled conditioning, llama-template
+    condition slot (offline hash fallback)."""
+
+    def _tiny_hunyuan_spec(self):
+        import jax.numpy as jnp
+
+        from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+        from finetrainers_tpu.models.hunyuan_video import HunyuanVideoModelSpecification
+
+        vae = AutoencoderConfig(
+            latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+            spatial_downsample=(True,), temporal_downsample=(True,),
+        )
+        spec = HunyuanVideoModelSpecification(
+            pretrained_model_name_or_path="tiny",
+            transformer_config=dict(
+                in_channels=4, out_channels=4, num_layers=1, num_single_layers=1,
+                num_refiner_layers=1, num_attention_heads=2,
+                # head_dim stays 128: the axial RoPE split (16/56/56) is tied to it
+                attention_head_dim=128, text_embed_dim=32, pooled_projection_dim=16,
+                guidance_embeds=True,
+            ),
+            vae_config=vae, lora_rank=4, lora_alpha=4,
+        )
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        return spec
+
+    def test_hunyuan_lora_fsdp(self, tmp_path, tiny_dataset):
+        from finetrainers_tpu.trainer.sft_trainer import SFTTrainer
+
+        argv = [
+            "--model_name", "hunyuan_video", "--pretrained_model_name_or_path", "tiny",
+            "--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+            "--dataset_config", tiny_dataset,
+            "--train_steps", "4", "--checkpointing_steps", "4",
+            "--precomputation_items", "4", "--batch_size", "1",
+            "--transformer_dtype", "fp32", "--vae_dtype", "fp32",
+            "--output_dir", str(tmp_path), "--seed", "7", "--dp_shards", "8",
+        ]
+        trainer = SFTTrainer(_parse_args(argv), self._tiny_hunyuan_spec())
+        trainer.run()
+        assert trainer.state.train_state.step == 4
+        assert all(np.isfinite(v) for v in trainer.state.train_state.global_avg_losses)
+        exports = sorted((tmp_path / "lora_weights").iterdir())
+        assert exports
+        from finetrainers_tpu.lora import load_lora_weights
+
+        state, _ = load_lora_weights(str(exports[-1]))
+        assert any(".lora_A.weight" in k for k in state)
