@@ -32,8 +32,10 @@ from ..logging import get_logger
 logger = get_logger(__name__)
 
 # Keys excluded from tensor collation (reference modeling_utils.py:22).
-IGNORE_KEYS_FOR_COLLATION = ["height", "width", "num_frames", "frame_rate", "rope_interpolation_scale",
-                             "original_size", "target_size", "crop_coords"]
+# NOTE: original_size/target_size/crop_coords must NOT be ignored — CogView4's
+# (1, 2) per-sample microconds have to stack to the batch size or the
+# time_condition_embed width collapses (the reference collates them normally).
+IGNORE_KEYS_FOR_COLLATION = ["height", "width", "num_frames", "frame_rate", "rope_interpolation_scale"]
 
 
 @dataclasses.dataclass

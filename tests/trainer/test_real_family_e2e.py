@@ -207,6 +207,76 @@ class TestImageFamilyE2E:
         assert any(".lora_A.weight" in k for k in state)
 
 
+class TestCogFamiliesE2E:
+    """CogVideoX (DDIM v-prediction objective) and CogView4 (GLM condition slot
+    + size/crop microconds) through the FULL trainer loop."""
+
+    def _run(self, tmp_path, dataset_config, model_name, spec):
+        from finetrainers_tpu.trainer.sft_trainer import SFTTrainer
+
+        argv = [
+            "--model_name", model_name, "--pretrained_model_name_or_path", "tiny",
+            "--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+            "--dataset_config", dataset_config,
+            "--train_steps", "4", "--checkpointing_steps", "4",
+            "--precomputation_items", "4", "--batch_size", "1",
+            "--transformer_dtype", "fp32", "--vae_dtype", "fp32",
+            "--output_dir", str(tmp_path), "--seed", "7", "--dp_shards", "8",
+        ]
+        trainer = SFTTrainer(_parse_args(argv), spec)
+        trainer.run()
+        assert trainer.state.train_state.step == 4
+        assert all(np.isfinite(v) for v in trainer.state.train_state.global_avg_losses)
+        assert sorted((tmp_path / "lora_weights").iterdir())
+        return trainer
+
+    def test_cogvideox_lora_fsdp(self, tmp_path, tiny_dataset):
+        import jax.numpy as jnp
+
+        from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+        from finetrainers_tpu.models.cogvideox import CogVideoXModelSpecification
+
+        vae = AutoencoderConfig(
+            latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+            spatial_downsample=(True,), temporal_downsample=(True,),
+        )
+        spec = CogVideoXModelSpecification(
+            pretrained_model_name_or_path="tiny",
+            transformer_config=dict(
+                in_channels=4, out_channels=4, num_layers=2,
+                num_attention_heads=4, attention_head_dim=16, text_embed_dim=32,
+                use_rotary_positional_embeddings=True,
+                use_learned_positional_embeddings=False,
+            ),
+            vae_config=vae, lora_rank=4, lora_alpha=4,
+        )
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        self._run(tmp_path, tiny_dataset, "cogvideox", spec)
+
+    def test_cogview4_image_lora_fsdp(self, tmp_path, tiny_image_dataset):
+        import jax.numpy as jnp
+
+        from finetrainers_tpu.models.autoencoders import AutoencoderConfig
+        from finetrainers_tpu.models.cogview4 import CogView4ModelSpecification
+
+        vae = AutoencoderConfig(
+            latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+            spatial_downsample=(True,), temporal_downsample=(True,),
+        )
+        spec = CogView4ModelSpecification(
+            pretrained_model_name_or_path="tiny",
+            transformer_config=dict(
+                in_channels=4, out_channels=4, num_layers=2,
+                num_attention_heads=4, attention_head_dim=16, text_embed_dim=32,
+            ),
+            vae_config=vae, lora_rank=4, lora_alpha=4,
+        )
+        spec.transformer_dtype = jnp.float32
+        spec.vae_dtype = jnp.float32
+        self._run(tmp_path, tiny_image_dataset, "cogview4", spec)
+
+
 class TestHunyuanFamilyE2E:
     """HunyuanVideo through the FULL loop: dual+single-stream blocks, token
     refiner, pooled projections, guidance-distilled conditioning, llama-template
