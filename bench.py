@@ -69,9 +69,40 @@ def ltx_train_step_flops(cfg: dict, lora_rank: int, remat_factor: float) -> floa
     return fwd * (2.0 + remat_factor)
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Bounded backend probe. A dead remote-TPU tunnel makes jax.devices() hang
+    forever (not raise); a bench that hangs is worse than a bench that fails
+    fast, so probe in a daemon thread and exit(3) on timeout."""
+    import sys
+    import threading
+
+    out: list = []
+
+    def _p():
+        import jax
+
+        try:
+            out.append(jax.devices())
+        except Exception as e:  # pragma: no cover - backend-specific
+            out.append(e)
+
+    t = threading.Thread(target=_p, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if t.is_alive() or not out or isinstance(out[0], Exception):
+        print(
+            f"bench.py: device backend unavailable (probe {'timed out' if t.is_alive() else out and out[0]}); "
+            "the TPU tunnel is likely down — retry later",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    return out[0]
+
+
 def main() -> None:
     import jax
 
+    _probe_devices()
     # Persistent compilation cache: the remote compile server's latency for the
     # full train step varies from ~4 min to >30 min; caching the executable
     # makes reruns (and the driver's bench invocation) start in seconds.
