@@ -157,6 +157,10 @@ class BaseArgs:
     steps_per_dispatch: int = 1
     checkpointing_steps: int = 500
     checkpointing_limit: Optional[int] = None
+    # TPU-native (beyond reference): on SIGTERM (the preemption notice on cloud
+    # TPU fleets) finish the in-flight step, save a full resumable checkpoint,
+    # and exit cleanly instead of losing progress since the last interval.
+    checkpoint_on_preemption: bool = False
     resume_from_checkpoint: Optional[str] = None
     enable_slicing: bool = False
     enable_tiling: bool = False
@@ -304,7 +308,8 @@ class BaseArgs:
                     "gradient_accumulation_steps", "gradient_checkpointing", "gradient_checkpointing_type",
                     "steps_per_dispatch",
                     "checkpointing_steps",
-                    "checkpointing_limit", "resume_from_checkpoint", "enable_slicing", "enable_tiling",
+                    "checkpointing_limit", "checkpoint_on_preemption", "resume_from_checkpoint",
+                    "enable_slicing", "enable_tiling",
                 )
             },
             "optimizer_arguments": {
@@ -406,6 +411,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--steps_per_dispatch", type=int, default=1)
     parser.add_argument("--checkpointing_steps", type=int, default=500)
     parser.add_argument("--checkpointing_limit", type=int, default=None)
+    parser.add_argument("--checkpoint_on_preemption", action="store_true")
     parser.add_argument("--resume_from_checkpoint", type=str, default=None)
     parser.add_argument("--enable_slicing", action="store_true")
     parser.add_argument("--enable_tiling", action="store_true")

@@ -425,6 +425,8 @@ class SFTTrainer(Trainer):
             )
         self._batch_stream = batch_stream
 
+        prev_sigterm = self._install_preemption_handler()
+
         step_times: List[float] = []
         spd = max(getattr(args, "steps_per_dispatch", 1), 1)
         pending: List[Any] = []  # one-batch pushback when shapes change mid-group
@@ -525,6 +527,17 @@ class SFTTrainer(Trainer):
             ):
                 self._validate(train_state.step)
 
+            if self._preemption_agreed():
+                logger.info(
+                    f"Preemption notice received; saving checkpoint at step "
+                    f"{train_state.step} and exiting cleanly"
+                )
+                break
+
+        if prev_sigterm is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_sigterm[0] or signal.SIG_DFL)
         self._save_checkpoint(force=True)
         if isinstance(self._batch_stream, DevicePrefetcher):
             self._batch_stream.stop()
@@ -598,6 +611,43 @@ class SFTTrainer(Trainer):
         if args.push_to_hub:
             repo_id = args.hub_model_id or args.tracker_name
             push_to_hub(repo_id, args.output_dir, token=args.hub_token)
+
+    def _install_preemption_handler(self):
+        """When --checkpoint_on_preemption is set, catch SIGTERM (the preemption
+        notice on cloud TPU fleets) and flip a flag the train loop polls at step
+        boundaries: the in-flight step finishes, a full resumable checkpoint is
+        saved, and training exits cleanly. Returns a 1-tuple holding the previous
+        handler when one was installed (the previous handler itself may be None),
+        else None; _train restores it after the loop."""
+        self._preemption_requested = False
+        if not getattr(self.args, "checkpoint_on_preemption", False):
+            return None
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self._preemption_requested = True
+
+        try:
+            return (signal.signal(signal.SIGTERM, _on_sigterm),)
+        except ValueError:  # not the main thread of the main interpreter
+            logger.warning(
+                "checkpoint_on_preemption: cannot install a SIGTERM handler "
+                "outside the main thread; preemption checkpointing disabled"
+            )
+            return None
+
+    def _preemption_agreed(self) -> bool:
+        """True when ANY process received SIGTERM. Preemption notices are
+        per-host; checkpoint saves are collective, so every process must enter
+        the save together or the survivors hang. Single-process reads the local
+        flag; multi-process agrees via a tiny per-step process allgather."""
+        if not getattr(self.args, "checkpoint_on_preemption", False):
+            return False
+        if jax.process_count() == 1:
+            return self._preemption_requested
+        from ...parallel.utils import all_gather_object
+
+        return any(all_gather_object(bool(self._preemption_requested)))
 
     def _save_checkpoint(self, force: bool = False) -> None:
         if self.checkpointer.latest_step() == self.state.train_state.step:

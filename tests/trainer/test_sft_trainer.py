@@ -344,3 +344,66 @@ class TestRingAttentionCP:
             train_steps=3,
         )
         assert (tmp_path / "checkpoints").exists()
+
+
+class TestPreemptionCheckpoint:
+    """--checkpoint_on_preemption: SIGTERM (the cloud-TPU preemption notice)
+    makes the loop finish the in-flight step, save a full resumable checkpoint,
+    and exit cleanly — beyond the reference, which loses progress since the
+    last checkpointing_steps interval."""
+
+    def _build_trainer(self, cls, tmp_path, tiny_dataset, train_steps):
+        from finetrainers_tpu.args import AttentionProviderArgs, BaseArgs
+        from finetrainers_tpu.config import _get_model_specifiction_cls
+        from finetrainers_tpu.trainer.sft_trainer import SFTLowRankConfig
+
+        args = BaseArgs()
+        args.register_args(AttentionProviderArgs())
+        args.register_args(SFTLowRankConfig())
+        args.parse_args([
+            "--model_name", "dummy", "--pretrained_model_name_or_path", "dummy",
+            "--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+            "--dataset_config", tiny_dataset["config"],
+            "--train_steps", str(train_steps), "--checkpointing_steps", "100",
+            "--precomputation_items", "4", "--batch_size", "1",
+            "--transformer_dtype", "fp32", "--dp_shards", "8",
+            "--output_dir", str(tmp_path), "--seed", "42",
+            "--checkpoint_on_preemption",
+        ])
+        spec = _get_model_specifiction_cls("dummy", "lora")(
+            pretrained_model_name_or_path="dummy")
+        return cls(args, spec)
+
+    def test_sigterm_checkpoints_and_resumes(self, tmp_path, tiny_dataset):
+        import signal
+        import time
+
+        from finetrainers_tpu.trainer.sft_trainer import SFTTrainer
+
+        fired = []
+
+        class PreemptedTrainer(SFTTrainer):
+            # Fires a REAL SIGTERM at the step-2 boundary: the genuine handler
+            # (installed at _train start) flips the flag the loop polls.
+            def _preemption_agreed(self):
+                if self.state.train_state.step == 2 and not fired:
+                    fired.append(os.kill(os.getpid(), signal.SIGTERM))
+                    time.sleep(0.05)  # bytecode boundary for signal delivery
+                return super()._preemption_agreed()
+
+        trainer = self._build_trainer(PreemptedTrainer, tmp_path, tiny_dataset, train_steps=10)
+        trainer.run()
+
+        assert fired, "SIGTERM was never sent"
+        assert trainer._preemption_requested, "handler did not run"
+        assert trainer.state.train_state.step == 2, "loop did not stop at the preempted step"
+        assert (tmp_path / "checkpoints" / "finetrainers_step_2").exists()
+        # default SIGTERM disposition restored after training
+        assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)
+
+        # The preemption checkpoint is resume-exact: a fresh run continues to completion.
+        resumed = self._build_trainer(SFTTrainer, tmp_path, tiny_dataset, train_steps=4)
+        object.__setattr__(resumed.args, "resume_from_checkpoint", "latest")
+        resumed.run()
+        assert resumed.state.train_state.step == 4
+        assert (tmp_path / "checkpoints" / "finetrainers_step_4").exists()
