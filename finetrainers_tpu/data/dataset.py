@@ -204,7 +204,8 @@ class ImageWebDataset(StatefulIterableDataset):
 
             n_rows = pq.ParquetFile(pq_path).metadata.num_rows
             self._index.extend((str(pq_path), i) for i in range(n_rows))
-        self._pq_cache: Tuple[Optional[str], Any] = (None, None)
+        # [path, ParquetFile, row-group start offsets, (group_idx, group_table)]
+        self._pq_cache: List[Any] = [None, None, None, (None, None)]
         self._precomputable_once = len(self._index) <= MAX_PRECOMPUTABLE_ITEMS_LIMIT
 
     def __len__(self) -> int:
@@ -237,13 +238,26 @@ class ImageWebDataset(StatefulIterableDataset):
         return convert_byte_str_to_str(caption_candidates[chosen])
 
     def _load_parquet_row(self, pq_path: str, row_idx: int) -> Dict[str, Any]:
+        # Keep only the open file handle + ONE decoded row group resident:
+        # multi-GB media shards must not be materialized whole in host RAM
+        # (sequential iteration still decodes each row group exactly once).
+        import bisect
+
         import pyarrow.parquet as pq
 
-        cached_path, table = self._pq_cache
-        if cached_path != pq_path:
-            table = pq.read_table(pq_path)
-            self._pq_cache = (pq_path, table)
-        row = table.slice(row_idx, 1).to_pylist()[0]
+        if self._pq_cache[0] != pq_path:
+            pf = pq.ParquetFile(pq_path, memory_map=True)
+            starts, off = [], 0
+            for g in range(pf.metadata.num_row_groups):
+                starts.append(off)
+                off += pf.metadata.row_group(g).num_rows
+            self._pq_cache = [pq_path, pf, starts, (None, None)]
+        _, pf, starts, (group_idx, group_table) = self._pq_cache
+        g = bisect.bisect_right(starts, row_idx) - 1
+        if group_idx != g:
+            group_table = pf.read_row_group(g)
+            self._pq_cache[3] = (g, group_table)
+        row = group_table.slice(row_idx - starts[g], 1).to_pylist()[0]
         sample: Dict[str, Any] = {}
         caption_candidates: Dict[str, str] = {}
         for col, value in row.items():

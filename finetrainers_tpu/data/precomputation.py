@@ -96,7 +96,8 @@ class InMemoryDistributedDataPreprocessor(BasePreprocessor):
             self._buffer.add(data_type, fn(**sample, **components))
         if drop_samples:
             self._cached_samples = []
-        return InMemoryDataIterable(self._rank, data_type, self._buffer)
+        self._preprocessed_iterator = InMemoryDataIterable(self._rank, data_type, self._buffer)
+        return self._preprocessed_iterator
 
     def consume_once(self, data_type: str, data_iterator, cache_samples: bool = False,
                      use_cached_samples: bool = False, drop_samples: bool = False, **components,
@@ -112,49 +113,67 @@ class InMemoryDistributedDataPreprocessor(BasePreprocessor):
             self._buffer.add(data_type, fn(**sample, **components))
         if drop_samples:
             self._cached_samples = []
-        return InMemoryOnceDataIterable(self._rank, data_type, self._buffer)
+        self._preprocessed_iterator = InMemoryOnceDataIterable(self._rank, data_type, self._buffer)
+        return self._preprocessed_iterator
 
     @property
     def requires_data(self) -> bool:
-        return self._buffer.size("latent") == 0 if "latent" in self._buffer._buffers else True
+        # Delegate to the live (latent) iterable, reference precomputation.py:129-132:
+        # the once-iterable cycles forever and NEVER requires data; the regular
+        # iterable flips to True when its last item is yielded. Checking raw
+        # buffer size here is wrong — a drained once-buffer would re-trigger a
+        # refill, silently replacing the cycling set with fresh items.
+        it = getattr(self, "_preprocessed_iterator", None)
+        return True if it is None else it.requires_data
 
 
 class InMemoryDataIterable:
-    """Yields until the buffer drains; then its preprocessor requires_data
-    (reference InMemoryDataIterable)."""
+    """Yields until the buffer drains; flags requires_data on the last item
+    (reference InMemoryDataIterable, precomputation.py:262-287)."""
 
     def __init__(self, rank: int, data_type: str, buffer: InMemoryDataBuffer) -> None:
         self._rank = rank
         self._data_type = data_type
         self._buffer = buffer
+        self._requires_data = False
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         while self._buffer.size(self._data_type) > 0:
+            if self._buffer.size(self._data_type) == 1:
+                self._requires_data = True
             yield self._buffer.get(self._data_type)
 
     def __len__(self) -> int:
         return self._buffer.size(self._data_type)
 
+    @property
+    def requires_data(self) -> bool:
+        return self._requires_data
+
 
 class InMemoryOnceDataIterable:
-    """Cycles the fixed buffer infinitely (reference InMemoryOnceDataIterable)."""
+    """Cycles the buffer infinitely by re-appending each popped item
+    (reference InMemoryOnceDataIterable, precomputation.py:290-316); never
+    requires data."""
 
     def __init__(self, rank: int, data_type: str, buffer: InMemoryDataBuffer) -> None:
         self._rank = rank
         self._data_type = data_type
         self._buffer = buffer
-        self._items: Optional[List[Any]] = None
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        if self._items is None:
-            self._items = []
-            while self._buffer.size(self._data_type) > 0:
-                self._items.append(self._buffer.get(self._data_type))
+        assert self._buffer.size(self._data_type) > 0
         while True:
-            yield from self._items
+            item = self._buffer.get(self._data_type)
+            self._buffer.add(self._data_type, item)
+            yield item
 
     def __len__(self) -> int:
-        return len(self._items) if self._items is not None else self._buffer.size(self._data_type)
+        return self._buffer.size(self._data_type)
+
+    @property
+    def requires_data(self) -> bool:
+        return False
 
 
 class PrecomputedDistributedDataPreprocessor(BasePreprocessor):
@@ -188,12 +207,16 @@ class PrecomputedDistributedDataPreprocessor(BasePreprocessor):
             np.savez(self._path(data_type, i), **_only_arrays(out))
         if drop_samples:
             self._cached_samples = []
-        return PrecomputedDataIterable(self._rank, self._num_items, data_type, str(self._save_dir))
+        self._preprocessed_iterator = PrecomputedDataIterable(
+            self._rank, self._num_items, data_type, str(self._save_dir))
+        return self._preprocessed_iterator
 
     def consume_once(self, data_type: str, data_iterator, **kwargs) -> "PrecomputedOnceDataIterable":
         self.consume(data_type, data_iterator, **kwargs)
         self._consumed_once = True
-        return PrecomputedOnceDataIterable(self._rank, self._num_items, data_type, str(self._save_dir))
+        self._preprocessed_iterator = PrecomputedOnceDataIterable(
+            self._rank, self._num_items, data_type, str(self._save_dir))
+        return self._preprocessed_iterator
 
     @classmethod
     def load_existing(cls, rank: int, num_items: int, save_dir: str, data_type: str):
@@ -208,7 +231,11 @@ class PrecomputedDistributedDataPreprocessor(BasePreprocessor):
 
     @property
     def requires_data(self) -> bool:
-        return not self._consumed_once
+        # Same delegation as the in-memory preprocessor (reference
+        # precomputation.py:256-259): once-iterables never require data; the
+        # regular iterable requires a re-consume after its last item.
+        it = getattr(self, "_preprocessed_iterator", None)
+        return True if it is None else it.requires_data
 
 
 class PrecomputedDataIterable:
@@ -218,6 +245,7 @@ class PrecomputedDataIterable:
         self._rank = rank
         self._num_items = num_items
         self._data_type = data_type
+        self._requires_data = False
 
     def _load(self, i: int) -> Dict[str, Any]:
         with np.load(self._root / f"{self._data_type}-{self._rank * self._num_items + i}.npz",
@@ -226,10 +254,16 @@ class PrecomputedDataIterable:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for i in range(self._num_items):
+            if i == self._num_items - 1:
+                self._requires_data = True
             yield self._load(i)
 
     def __len__(self) -> int:
         return self._num_items
+
+    @property
+    def requires_data(self) -> bool:
+        return self._requires_data
 
 
 class PrecomputedOnceDataIterable(PrecomputedDataIterable):
@@ -237,6 +271,10 @@ class PrecomputedOnceDataIterable(PrecomputedDataIterable):
         while True:
             for i in range(self._num_items):
                 yield self._load(i)
+
+    @property
+    def requires_data(self) -> bool:
+        return False
 
 
 def _only_arrays(d: Dict[str, Any]) -> Dict[str, np.ndarray]:

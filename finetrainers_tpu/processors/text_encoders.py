@@ -64,18 +64,32 @@ class FlaxT5Handle:
 
         # Diffusers checkpoint layouts keep the tower under `text_encoder/`
         # (reference passes subfolder="text_encoder" to T5EncoderModel); accept
-        # either a direct T5 dir/id or a pipeline root.
-        sub = os.path.join(model_id, "text_encoder")
-        if os.path.isdir(sub) and not os.path.exists(os.path.join(model_id, "config.json")):
-            model_id = sub
-        self.model = FlaxT5EncoderModel.from_pretrained(model_id, from_pt=True)
+        # either a direct T5 dir/id or a pipeline root. For hub ids the
+        # subfolder kwarg does the same redirection from_pretrained-side.
+        kwargs = {}
+        tok_kwargs = {}
+        if os.path.isdir(model_id):
+            sub = os.path.join(model_id, "text_encoder")
+            if os.path.isdir(sub) and not os.path.exists(os.path.join(model_id, "config.json")):
+                model_id = sub
+        elif not os.path.exists(model_id):  # hub pipeline id (no local path)
+            kwargs["subfolder"] = "text_encoder"
+            tok_kwargs["subfolder"] = "tokenizer"
+        self.model = FlaxT5EncoderModel.from_pretrained(model_id, from_pt=True, **kwargs)
         try:
-            self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_id or model_id)
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                tokenizer_id or model_id, **({} if tokenizer_id else tok_kwargs))
         except Exception as e:  # tokenizer assets missing (offline tiny dirs)
             logger.warning(f"T5 weights loaded but tokenizer unavailable ({e}); set .tokenizer before encode()")
             self.tokenizer = None
+            self._tokenizer_error = e
 
     def encode(self, captions: List[str], max_sequence_length: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+        if self.tokenizer is None:
+            raise RuntimeError(
+                "FlaxT5Handle has no tokenizer (loading failed at construction; "
+                "see the warning above). Assign `.tokenizer` before encoding."
+            ) from getattr(self, "_tokenizer_error", None)
         batch = self.tokenizer(
             captions, padding="max_length", max_length=max_sequence_length,
             truncation=True, return_tensors="np",

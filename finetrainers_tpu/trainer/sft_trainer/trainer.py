@@ -430,28 +430,47 @@ class SFTTrainer(Trainer):
         step_times: List[float] = []
         spd = max(getattr(args, "steps_per_dispatch", 1), 1)
         pending: List[Any] = []  # one-batch pushback when shapes change mid-group
+        # Loader state to checkpoint while `pending` holds an un-trained batch:
+        # that batch is already past the live/consumed snapshot, so saving the
+        # snapshot taken BEFORE it was pulled keeps resume exact (the batch is
+        # re-delivered instead of silently dropped).
+        self._pending_loader_state = None
         while train_state.step < args.train_steps and train_state.observed_data_samples < args.max_data_samples:
             with self.tracker.timed("timing/batch_prep"):
-                cond_batch, lat_batch = pending.pop() if pending else next(batch_stream)
+                if pending:
+                    cond_batch, lat_batch = pending.pop()
+                    self._pending_loader_state = None  # trained before any later save
+                else:
+                    cond_batch, lat_batch = next(batch_stream)
 
             group = [(cond_batch, lat_batch)]
             if spd > 1:
                 # Group up to spd batches, stopping at cadence boundaries so
-                # checkpoint/validation steps land exactly, and at shape changes
+                # checkpoint/validation steps land exactly (validation only when
+                # it can actually run), at the sample cap, and at shape changes
                 # (each resolution bucket is its own compiled program).
+                cadences = [args.checkpointing_steps]
+                if args.validation_dataset_file:
+                    cadences.append(args.validation_steps)
+                sample_budget_steps = -(
+                    -(args.max_data_samples - train_state.observed_data_samples) // global_batch_size
+                )
                 limit = min(
                     spd,
                     args.train_steps - train_state.step,
-                    *[c - (train_state.step % c) for c in (args.checkpointing_steps, args.validation_steps) if c and c > 0],
+                    max(1, sample_budget_steps),
+                    *[c - (train_state.step % c) for c in cadences if c and c > 0],
                 )
                 shapes = jax.tree_util.tree_map(lambda x: getattr(x, "shape", None), (cond_batch, lat_batch))
                 while len(group) < limit:
                     with self.tracker.timed("timing/batch_prep"):
+                        snap_before = self._loader_snapshot()
                         nxt = next(batch_stream)
                     if jax.tree_util.tree_map(lambda x: getattr(x, "shape", None), nxt) == shapes:
                         group.append(nxt)
                     else:
                         pending.append(nxt)
+                        self._pending_loader_state = snap_before
                         break
 
             if args.enable_profiling and train_state.step == args.profiling_start_step:
@@ -472,15 +491,14 @@ class SFTTrainer(Trainer):
                     self._trainable, self._opt_state, losses_k, maxes_k, gns_k = self._train_step_multi_fn(
                         self._trainable, self._frozen, self._opt_state, conds, lats, self.rng, step_ids
                     )
-                    # last fused step's scalars drive the logging block below;
-                    # per-step histories record every fused step.
-                    loss, max_loss, grad_norm = losses_k[-1], maxes_k[-1], gns_k[-1]
                 else:
                     step_rng = jax.random.fold_in(self.rng, train_state.step)
                     self._trainable, self._opt_state, loss, max_loss, grad_norm = self._train_step_fn(
                         self._trainable, self._frozen, self._opt_state, cond_batch, lat_batch, step_rng
                     )
+                    losses_k, maxes_k, gns_k = [loss], [max_loss], [grad_norm]
 
+            base_step = train_state.step
             train_state.step += len(group)
             train_state.observed_data_samples += global_batch_size * len(group)
 
@@ -490,31 +508,39 @@ class SFTTrainer(Trainer):
                 logger.info(f"Profiler trace written to {self._profiler.log_dir}")
                 self._profiler = None
 
-            # With fused dispatch a group may straddle a logging boundary;
-            # log whenever one was crossed (values from the group's last step).
-            crossed_logging = (
-                (train_state.step % args.logging_steps == 0)
-                or ((train_state.step - len(group)) // args.logging_steps != train_state.step // args.logging_steps)
-            )
-            if crossed_logging:
-                loss_f = float(loss)
-                step_times.append(time.perf_counter() - t0)
+            # With fused dispatch a group may contain logging boundaries; log
+            # each one with ITS OWN step's scalars (spd-invariant histories —
+            # an spd=8 run records the same loss curve as an spd=1 run).
+            group_time = time.perf_counter() - t0
+            last_logged = None
+            for i in range(len(group)):
+                step_i = base_step + i + 1
+                if step_i % args.logging_steps != 0 and step_i != args.train_steps:
+                    continue
+                last_logged = i
+                loss_f = float(losses_k[i])
+                step_times.append(group_time / len(group))
                 train_state.global_avg_losses.append(loss_f)
-                train_state.global_max_losses.append(float(max_loss))
-                train_state.log_steps.append(train_state.step)
+                train_state.global_max_losses.append(float(maxes_k[i]))
+                train_state.log_steps.append(step_i)
                 self.tracker.log(
                     {
                         "train/global_avg_loss": loss_f,
-                        "train/global_max_loss": float(max_loss),
-                        "train/grad_norm": float(grad_norm),
-                        "train/lr": float(self._lr_schedule(train_state.step)),
-                        "train/observed_data_samples": train_state.observed_data_samples,
+                        "train/global_max_loss": float(maxes_k[i]),
+                        "train/grad_norm": float(gns_k[i]),
+                        "train/lr": float(self._lr_schedule(step_i)),
+                        "train/observed_data_samples": (
+                            train_state.observed_data_samples
+                            - global_batch_size * (len(group) - (i + 1))
+                        ),
                     },
-                    step=train_state.step,
+                    step=step_i,
                 )
+            if last_logged is not None:
                 logger.info(
-                    f"step {train_state.step}/{args.train_steps} loss={loss_f:.4f} "
-                    f"grad_norm={float(grad_norm):.4f}",
+                    f"step {base_step + last_logged + 1}/{args.train_steps} "
+                    f"loss={train_state.global_avg_losses[-1]:.4f} "
+                    f"grad_norm={float(gns_k[last_logged]):.4f}",
                     frequency=max(1, 50 // max(args.logging_steps, 1)),
                     frequency_key="train-progress",
                 )
@@ -534,18 +560,24 @@ class SFTTrainer(Trainer):
                 )
                 break
 
-        if prev_sigterm is not None:
-            import signal
+        try:
+            # The handler stays installed through the epilogue: a REPEATED
+            # preemption notice during the final (possibly minutes-long) save/
+            # validate/export must not kill the process mid-checkpoint — that
+            # is the exact failure --checkpoint_on_preemption exists to avoid.
+            self._save_checkpoint(force=True)
+            if isinstance(self._batch_stream, DevicePrefetcher):
+                self._batch_stream.stop()
+            if args.validation_dataset_file:
+                self._validate(train_state.step, final=True)
+            self._finalize_run()
+            logger.info(f"Memory after training: {get_memory_statistics()}")
+            self.tracker.finish()
+        finally:
+            if prev_sigterm is not None:
+                import signal
 
-            signal.signal(signal.SIGTERM, prev_sigterm[0] or signal.SIG_DFL)
-        self._save_checkpoint(force=True)
-        if isinstance(self._batch_stream, DevicePrefetcher):
-            self._batch_stream.stop()
-        if args.validation_dataset_file:
-            self._validate(train_state.step, final=True)
-        self._finalize_run()
-        logger.info(f"Memory after training: {get_memory_statistics()}")
-        self.tracker.finish()
+                signal.signal(signal.SIGTERM, prev_sigterm[0] or signal.SIG_DFL)
 
     def _sharded_batch_stream(self, sampler, global_batch_size: int):
         """Yield device-sharded (condition, latent) batches forever: refills the
@@ -636,18 +668,34 @@ class SFTTrainer(Trainer):
             )
             return None
 
+    def _loader_snapshot(self):
+        """Loader state with everything handed out so far marked consumed.
+        Under prefetch the live loader runs ahead by the queue depth, so the
+        per-batch snapshot the prefetcher carries is the truth; inline streams
+        read the live state."""
+        return getattr(
+            getattr(self, "_batch_stream", None), "consumed_state", None
+        ) or _jsonable(self.dataloader.state_dict())
+
     def _preemption_agreed(self) -> bool:
         """True when ANY process received SIGTERM. Preemption notices are
         per-host; checkpoint saves are collective, so every process must enter
         the save together or the survivors hang. Single-process reads the local
-        flag; multi-process agrees via a tiny per-step process allgather."""
+        flag; multi-process agrees via ONE single-bool process allgather per
+        dispatch (not the two-round padded object gather — this runs every
+        step, so it must stay off the async-dispatch critical path as much as
+        a host-blocking collective can)."""
         if not getattr(self.args, "checkpoint_on_preemption", False):
             return False
         if jax.process_count() == 1:
             return self._preemption_requested
-        from ...parallel.utils import all_gather_object
+        import numpy as np
+        from jax.experimental import multihost_utils
 
-        return any(all_gather_object(bool(self._preemption_requested)))
+        flags = multihost_utils.process_allgather(
+            np.array([self._preemption_requested], dtype=np.bool_)
+        )
+        return bool(np.asarray(flags).any())
 
     def _save_checkpoint(self, force: bool = False) -> None:
         if self.checkpointer.latest_step() == self.state.train_state.step:
@@ -655,9 +703,10 @@ class SFTTrainer(Trainer):
         with self.tracker.timed("timing/checkpoint"):
             # Under prefetch, the live loader state runs ahead of training by
             # the queue depth; the snapshot travels with each consumed batch.
-            loader_state = getattr(
-                getattr(self, "_batch_stream", None), "consumed_state", None
-            ) or _jsonable(self.dataloader.state_dict())
+            # A batch pushed back into `pending` (shape change mid-group) was
+            # handed out but NOT trained: save the pre-pull snapshot so resume
+            # re-delivers it instead of dropping it.
+            loader_state = getattr(self, "_pending_loader_state", None) or self._loader_snapshot()
             metadata = {
                 "train_state": self.state.train_state.state_dict(),
                 "dataloader": loader_state,

@@ -407,3 +407,119 @@ class TestPreemptionCheckpoint:
         resumed.run()
         assert resumed.state.train_state.step == 4
         assert (tmp_path / "checkpoints" / "finetrainers_step_4").exists()
+
+
+@pytest.fixture(scope="module")
+def mixed_bucket_dataset(tmp_path_factory):
+    """Two resolution buckets so fused-dispatch groups hit shape changes and
+    exercise the one-batch pushback (`pending`) path."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("mixed_ds")
+    rows = []
+    rng = np.random.RandomState(0)
+    # Bucket choice is aspect-ratio driven (functional/video.py:key), so mixed
+    # buckets need mixed aspect ratios: square -> [4,32,32], 2:1 -> [4,32,64].
+    for i, (w_px, h_px) in enumerate([(64, 64), (128, 64)] * 3):
+        path = root / f"vid{i}.mp4"
+        writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (w_px, h_px))
+        for _ in range(8):
+            writer.write((rng.rand(h_px, w_px, 3) * 255).astype(np.uint8))
+        writer.release()
+        rows.append({"file_name": f"vid{i}.mp4", "caption": f"clip {i}"})
+    with open(root / "metadata.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file_name", "caption"])
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+    config = {
+        "datasets": [
+            {
+                "data_root": str(root),
+                "dataset_type": "video",
+                "video_resolution_buckets": [[4, 32, 32], [4, 32, 64]],
+                "reshape_mode": "bicubic",
+            }
+        ]
+    }
+    config_path = root / "config.json"
+    config_path.write_text(json.dumps(config))
+    return {"config": str(config_path)}
+
+
+class TestFusedDispatchPending:
+    def _parse(self, tmp_path, mixed_bucket_dataset, extra):
+        from finetrainers_tpu.args import AttentionProviderArgs, BaseArgs
+
+        args = BaseArgs()
+        args.register_args(AttentionProviderArgs())
+        from finetrainers_tpu.trainer.sft_trainer import SFTLowRankConfig
+
+        args.register_args(SFTLowRankConfig())
+        args.parse_args([
+            "--model_name", "dummy", "--pretrained_model_name_or_path", "dummy",
+            "--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+            "--dataset_config", mixed_bucket_dataset["config"],
+            "--checkpointing_steps", "100", "--steps_per_dispatch", "4",
+            "--precomputation_items", "6", "--batch_size", "1",
+            "--transformer_dtype", "fp32", "--dp_shards", "8",
+            "--output_dir", str(tmp_path), "--seed", "42",
+        ] + extra)
+        return args
+
+    def test_max_data_samples_caps_fused_group(self, tmp_path, mixed_bucket_dataset):
+        """The fused-group limit honors max_data_samples: with a budget of one
+        global batch the dispatch trains exactly one step instead of fusing
+        spd steps past the cap (and never even pulls the extra batches)."""
+        from finetrainers_tpu.config import _get_model_specifiction_cls
+        from finetrainers_tpu.trainer.sft_trainer import SFTTrainer
+
+        args = self._parse(tmp_path / "cap", mixed_bucket_dataset,
+                           ["--train_steps", "100", "--max_data_samples", "8"])
+        trainer = SFTTrainer(args, _get_model_specifiction_cls("dummy", "lora")(
+            pretrained_model_name_or_path="dummy"))
+        trainer.run()
+        assert trainer.state.train_state.step == 1
+        assert trainer.state.train_state.observed_data_samples == 8
+
+    def test_pending_batch_not_marked_consumed_at_save(self, tmp_path, mixed_bucket_dataset):
+        """When a shape change pushes a batch back into `pending`, a checkpoint
+        taken before that batch is trained (here: the forced save at the
+        preemption exit — the cadence saves can never coincide with a live
+        pushback, and the sample-budget cap stops the max_data_samples exit
+        from over-pulling) must record the PRE-pull dataloader position, else
+        the batch is silently dropped on resume."""
+        from finetrainers_tpu.config import _get_model_specifiction_cls
+        from finetrainers_tpu.trainer.sft_trainer import SFTTrainer
+
+        save_records = []
+
+        class PreemptedRecordingTrainer(SFTTrainer):
+            def _preemption_agreed(self):
+                # Simulated preemption notice at the first step boundary —
+                # reached right after the alternating-bucket stream pushed the
+                # second (different-shaped) batch back into `pending`.
+                return self.state.train_state.step >= 1
+
+            def _save_checkpoint(self, force=False):
+                save_records.append(
+                    (self.state.train_state.step, self._pending_loader_state is not None)
+                )
+                return super()._save_checkpoint(force=force)
+
+        args = self._parse(tmp_path, mixed_bucket_dataset, ["--train_steps", "100"])
+        spec = _get_model_specifiction_cls("dummy", "lora")(
+            pretrained_model_name_or_path="dummy")
+        trainer = PreemptedRecordingTrainer(args, spec)
+        trainer.run()
+
+        assert trainer.state.train_state.step == 1
+        assert any(pending for _, pending in save_records), save_records
+
+        # Resume from that checkpoint: the pushed-back batch is re-delivered
+        # (not dropped) and training continues through mixed shapes.
+        args2 = self._parse(tmp_path, mixed_bucket_dataset,
+                            ["--train_steps", "4", "--resume_from_checkpoint", "latest"])
+        resumed = SFTTrainer(args2, _get_model_specifiction_cls("dummy", "lora")(
+            pretrained_model_name_or_path="dummy"))
+        resumed.run()
+        assert resumed.state.train_state.step == 4
