@@ -86,17 +86,31 @@ def _probe_devices(timeout_s: float = 180.0):
         except Exception as e:  # pragma: no cover - backend-specific
             out.append(e)
 
-    t = threading.Thread(target=_p, daemon=True)
-    t.start()
-    t.join(timeout=timeout_s)
-    if t.is_alive() or not out or isinstance(out[0], Exception):
-        print(
-            f"bench.py: device backend unavailable (probe {'timed out' if t.is_alive() else out and out[0]}); "
-            "the TPU tunnel is likely down — retry later",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
-    return out[0]
+    import time as _time
+
+    # One retry after a pause: the tunnel has transient blips distinct from its
+    # long outages, and the driver's round-end bench should survive the former.
+    for attempt in range(2):
+        t = threading.Thread(target=_p, daemon=True)
+        t.start()
+        t.join(timeout=timeout_s)
+        if not t.is_alive() and out and not isinstance(out[0], Exception):
+            return out[0]
+        if attempt == 0 and not t.is_alive():
+            # jax caches a failed backend init; a same-process retry cannot
+            # recover from an *exception* (only from a slow probe), so only
+            # the timed-out case is worth retrying after a pause.
+            break
+        if attempt == 0:
+            print("bench.py: device probe timed out; retrying once in 60 s", file=sys.stderr)
+            _time.sleep(60.0)
+            out.clear()
+    print(
+        f"bench.py: device backend unavailable (probe {'timed out' if t.is_alive() else out and out[0]}); "
+        "the TPU tunnel is likely down — retry later",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 def main() -> None:

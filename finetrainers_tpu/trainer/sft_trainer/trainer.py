@@ -293,6 +293,11 @@ class SFTTrainer(Trainer):
                 root, dataset_type, infinite=True,
                 caption_options=entry.get("caption_options"),
             )
+            if args.precomputation_once and not getattr(ds, "_precomputable_once", False):
+                # reference trainer/sft_trainer/trainer.py:258-261
+                raise ValueError(
+                    f"Dataset {root} does not support precomputing all embeddings at once."
+                )
             wrapped = wrap_iterable_dataset_for_preprocessing(
                 ds,
                 dataset_type,
@@ -589,9 +594,12 @@ class SFTTrainer(Trainer):
         while True:
             if condition_iter is None or self.preprocessor.requires_data:
                 with self.tracker.timed("timing/precompute"):
+                    # consume_once ONLY on the explicit flag (reference trainer
+                    # :872): auto-switching on _precomputable_once would cycle
+                    # just num_items samples forever instead of the dataset.
                     consume = (
                         self.preprocessor.consume_once
-                        if args.precomputation_once or getattr(self.dataset, "_precomputable_once", False)
+                        if args.precomputation_once
                         else self.preprocessor.consume
                     )
                     condition_iter = iter(consume(

@@ -47,6 +47,23 @@ class TestInMemory:
         lat = pre.consume_once("latent", data)
         out = list(itertools.islice(iter(lat), 5))
         assert len(out) == 5  # cycles past the buffer size
+        # Cycles ALL buffered items in order, not just the first (regression:
+        # a drained once-buffer used to re-trigger refills that replaced the
+        # set and silently trained on item 0 of every refill).
+        np.testing.assert_array_equal(out[0]["latents"], [0.0, 0.0])
+        np.testing.assert_array_equal(out[1]["latents"], [2.0, 2.0])
+        np.testing.assert_array_equal(out[2]["latents"], [0.0, 0.0])
+        assert not pre.requires_data  # once-iterables never require a refill
+
+    def test_consume_requires_data_only_at_last_item(self):
+        pre = initialize_preprocessor(rank=0, num_items=3, processor_fn=PROCESSORS)
+        it = iter(pre.consume("latent", iter(_samples())))
+        next(it)
+        assert not pre.requires_data
+        next(it)
+        assert not pre.requires_data
+        next(it)
+        assert pre.requires_data  # last item handed out -> refill needed
 
 
 class TestPrecomputed:

@@ -523,3 +523,56 @@ class TestFusedDispatchPending:
             pretrained_model_name_or_path="dummy"))
         resumed.run()
         assert resumed.state.train_state.step == 4
+
+
+class TestStreamDatasetCoverage:
+    def test_consume_path_cycles_whole_dataset(self, tmp_path, mixed_bucket_dataset):
+        """The batch stream must visit EVERY dataset item across preprocessor
+        refills and deliver both resolution buckets (regression: a drained
+        once-buffer used to re-trigger refills that discarded all but the
+        first item of each refill, so one bucket/subset trained forever)."""
+        from finetrainers_tpu.args import AttentionProviderArgs, BaseArgs
+        from finetrainers_tpu.config import _get_model_specifiction_cls
+        from finetrainers_tpu.data.sampler import ResolutionSampler
+        from finetrainers_tpu.trainer.sft_trainer import SFTLowRankConfig, SFTTrainer
+
+        args = BaseArgs()
+        args.register_args(AttentionProviderArgs())
+        args.register_args(SFTLowRankConfig())
+        args.parse_args([
+            "--model_name", "dummy", "--pretrained_model_name_or_path", "dummy",
+            "--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+            "--dataset_config", mixed_bucket_dataset["config"],
+            "--precomputation_items", "6", "--batch_size", "1",
+            "--transformer_dtype", "fp32", "--dp_shards", "8",
+            "--output_dir", str(tmp_path), "--seed", "42", "--train_steps", "100",
+        ])
+        spec = _get_model_specifiction_cls("dummy", "lora")(
+            pretrained_model_name_or_path="dummy")
+        trainer = SFTTrainer(args, spec)
+        trainer._prepare_models()
+        trainer._prepare_trainable_parameters()
+        trainer._prepare_for_training()
+        trainer._prepare_dataset()
+
+        seen_captions = set()
+        orig_prepare = spec.prepare_conditions
+
+        def recording_prepare(caption="", **kw):
+            seen_captions.add(caption)
+            return orig_prepare(caption=caption, **kw)
+
+        spec.prepare_conditions = recording_prepare
+        # Rebuild the preprocessor closure over the wrapped function.
+        trainer._prepare_dataset()
+
+        import jax
+
+        sampler = ResolutionSampler(8, spec._resolution_dim_keys)
+        stream = trainer._sharded_batch_stream(sampler, 8)
+        shapes = set()
+        for _ in range(6):
+            _, lat = next(stream)
+            shapes.add(lat["latents"].shape)
+        assert shapes == {(8, 8, 4, 4, 4), (8, 8, 4, 4, 8)}, shapes
+        assert seen_captions == {f"clip {i}" for i in range(6)}, seen_captions
