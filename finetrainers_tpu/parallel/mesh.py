@@ -60,7 +60,11 @@ class ParallelDims:
 
     def __post_init__(self):
         if self.pp != 1:
-            raise NotImplementedError("Pipeline parallelism is not supported (matches reference behavior).")
+            raise NotImplementedError(
+                "Pipeline parallelism is not wired into the trainer CLI (matches reference"
+                " behavior); a tested differentiable GPipe primitive is available as"
+                " finetrainers_tpu.parallel.pipeline_blocks."
+            )
         for name in ("dp_replicate", "dp_shard", "cp", "tp"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
