@@ -16,18 +16,28 @@ processes microbatch ``m = t - s`` (masked off when ``m`` is out of range —
 every stage executes every tick, which is the standard SPMD formulation: the
 bubble is idle *useful* work, not divergent control flow). Activations hop to
 the next stage over ICI via ``ppermute`` after each tick. Weights never move.
+Per-microbatch conditioning (timestep embeddings, encoder context — the DiT
+blocks' broadcast args) does NOT hop: it is replicated over the pipeline axis
+and each stage indexes the slice for the microbatch it is processing at that
+tick, so only the (usually much larger) hidden-state streams pay ICI
+bandwidth.
 
-This is a building block, not yet a trainer mode: the flagship models run
-scan-over-layers (``models/layers.block_stack``) whose stacked parameter
-layout is exactly what ``pipeline_blocks`` consumes, so wiring a ``pp`` mesh
-axis into ``MeshEnv`` later is a layout no-op. Equivalence (forward AND
-gradients) against the sequential scan is tested in
+The carry may be a pytree (e.g. the ``(img, txt)`` dual-stream carries of
+Flux/HunyuanVideo/CogVideoX blocks), matching ``models/layers.block_stack``'s
+carry contract, and the primitive composes with a data-parallel mesh axis:
+pass ``batch_shard_axes=("dp_shard",)`` (or any dp axes of the mesh) and the
+microbatch dimension of activations and conditioning stays sharded over those
+axes inside the pipeline — each (dp, pp) mesh coordinate runs the schedule on
+its local slice of every microbatch.
+
+Equivalence (forward AND gradients, single- and dual-stream, with and
+without a dp axis) against the sequential scan is tested in
 ``tests/parallel/test_pipeline.py``.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +52,7 @@ except ImportError:  # pragma: no cover
 
     _SHARD_MAP_KW = {"check_rep": False}
 
-__all__ = ["pipeline_blocks"]
+__all__ = ["pipeline_blocks", "bubble_fraction"]
 
 
 def _leading_dim(tree: Any) -> int:
@@ -56,95 +66,155 @@ def _leading_dim(tree: Any) -> int:
 
 
 def pipeline_blocks(
-    block_fn: Callable[[Any, jax.Array], jax.Array],
+    block_fn: Callable[..., Any],
     stacked_params: Any,
-    x: jax.Array,
+    carry: Any,
     *,
     mesh: Mesh,
     axis: str = "pp",
     n_microbatches: int,
-) -> jax.Array:
-    """Apply ``L`` stacked blocks to ``x`` with the layer stack pipelined over
-    the ``axis`` mesh dimension.
+    batched_args: Tuple = (),
+    static_args: Tuple = (),
+    batch_shard_axes: Sequence[str] = (),
+) -> Any:
+    """Apply ``L`` stacked blocks to ``carry`` with the layer stack pipelined
+    over the ``axis`` mesh dimension.
 
     Args:
-      block_fn: ``(params_for_one_layer, h) -> h`` with output shaped like the
-        input (a residual transformer block). Closures may capture anything
-        static; only activations flow between stages.
+      block_fn: ``(params_for_one_layer, carry, *batched_slice, *static_args)
+        -> carry`` with output shaped like the input carry (a residual
+        transformer block; ``carry`` is passed as-is, so a tuple carry is
+        received as a tuple). Closures may capture anything static.
       stacked_params: pytree whose every leaf has a leading layer axis ``L``
         (the layout produced by ``models/layers.block_stack`` /
         ``flax`` vmapped inits). Requires ``L % P == 0``; each stage holds the
         contiguous slab of ``L // P`` layers — the leading axis is simply
         sharded over ``axis``, so no reshuffling of checkpoints is needed.
-      x: global batch ``(B, ...)``; requires ``B % n_microbatches == 0``.
+      carry: array or pytree of arrays, every leaf batched ``(B, ...)`` with
+        the same ``B``; requires ``B % n_microbatches == 0``.
       mesh: mesh containing ``axis``. Other mesh axes are untouched (the
         primitive composes with dp/tp shardings on the non-layer dims).
       n_microbatches: GPipe microbatch count M. Bubble fraction is
         ``(P - 1) / (M + P - 1)``; pick ``M >= 4 * P`` for <20% bubble.
+      batched_args: per-sample conditioning tensors, each ``(B, ...)``. They
+        are microbatched alongside the carry but do not travel over ICI: each
+        stage reads the slice for the microbatch it is processing. This is
+        the pipeline analog of ``block_stack``'s ``broadcast_args``.
+      static_args: passed to ``block_fn`` verbatim every call (no batch dim).
+      batch_shard_axes: mesh axis name(s) the batch dim of carry/batched_args
+        is sharded over (data parallelism). ``B`` then means the PER-SHARD
+        batch as seen by the caller's global arrays' sharded dim — pass the
+        global arrays; the microbatch split happens on the global batch and
+        divisibility is required after dp sharding too.
 
     Returns:
-      ``(B, ...)`` output, replicated over ``axis`` (matching the sequential
+      carry-shaped output, replicated over ``axis`` (matching the sequential
       ``lax.scan`` over all ``L`` layers bit-for-bit up to reduction order).
     """
     n_stages = mesh.shape[axis]
     n_layers = _leading_dim(stacked_params)
     if n_layers % n_stages != 0:
         raise ValueError(f"L={n_layers} layers not divisible by {n_stages} pipeline stages")
-    batch = x.shape[0]
+
+    carry_leaves, carry_def = jax.tree_util.tree_flatten(carry)
+    if not carry_leaves:
+        raise ValueError("carry has no array leaves")
+    batches = {leaf.shape[0] for leaf in carry_leaves}
+    batches |= {a.shape[0] for a in batched_args}
+    if len(batches) != 1:
+        raise ValueError(f"carry/batched_args leaves disagree on batch dim: {sorted(batches)}")
+    batch = batches.pop()
     if batch % n_microbatches != 0:
         raise ValueError(f"batch {batch} not divisible by n_microbatches={n_microbatches}")
     mb = batch // n_microbatches
-    x_stack = x.reshape(n_microbatches, mb, *x.shape[1:])
 
-    def stage_program(local_params: Any, xs: jax.Array) -> jax.Array:
+    def _to_mb(a: jax.Array) -> jax.Array:
+        return a.reshape(n_microbatches, mb, *a.shape[1:])
+
+    xs_leaves = [_to_mb(leaf) for leaf in carry_leaves]
+    cond_mb = tuple(_to_mb(a) for a in batched_args)
+
+    dp = tuple(batch_shard_axes)
+    # (M, mb, ...) arrays: microbatch dim replicated over pp, mb dim sharded
+    # over the dp axes (if any). Stacked params: layer axis over pp only.
+    act_spec = P(None, dp if dp else None)
+    par_spec = P(axis)
+
+    def stage_program(local_params: Any, xs_flat, cond) -> Any:
         stage = jax.lax.axis_index(axis)
         n_ticks = n_microbatches + n_stages - 1
 
-        def run_local(h: jax.Array) -> jax.Array:
-            def body(carry, layer_params):
-                return block_fn(layer_params, carry), None
+        def run_local(h_leaves, m):
+            h = jax.tree_util.tree_unflatten(carry_def, h_leaves)
+            cond_slices = tuple(
+                jax.lax.dynamic_index_in_dim(c, m, 0, keepdims=False) for c in cond
+            )
+
+            def body(c, layer_params):
+                return block_fn(layer_params, c, *cond_slices, *static_args), None
 
             out, _ = jax.lax.scan(body, h, local_params)
-            return out
+            return jax.tree_util.tree_leaves(out)
 
-        def tick(carry, t):
-            acts, outbuf = carry
-            inject = jax.lax.dynamic_index_in_dim(
-                xs, jnp.clip(t, 0, n_microbatches - 1), 0, keepdims=False
-            )
-            h = jnp.where(stage == 0, inject.astype(acts.dtype), acts)
-            y = run_local(h)
+        def tick(state, t):
+            acts, outbuf = state
             m = t - stage
+            m_clip = jnp.clip(m, 0, n_microbatches - 1)
+            # Stage 0 sources microbatch t from the input; later stages use
+            # the activations that arrived over ICI (microbatch t - stage).
+            injected = [
+                jnp.where(
+                    stage == 0,
+                    jax.lax.dynamic_index_in_dim(
+                        x, jnp.clip(t, 0, n_microbatches - 1), 0, keepdims=False
+                    ).astype(a.dtype),
+                    a,
+                )
+                for x, a in zip(xs_flat, acts)
+            ]
+            y = run_local(injected, m_clip)
             emit = (stage == n_stages - 1) & (m >= 0) & (m < n_microbatches)
-            slot = jnp.clip(m, 0, n_microbatches - 1)
-            current = jax.lax.dynamic_index_in_dim(outbuf, slot, 0, keepdims=False)
-            outbuf = jax.lax.dynamic_update_index_in_dim(
-                outbuf, jnp.where(emit, y, current), slot, 0
-            )
-            y_next = jax.lax.ppermute(
-                y, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)]
-            )
+            outbuf = [
+                jax.lax.dynamic_update_index_in_dim(
+                    buf,
+                    jnp.where(
+                        emit,
+                        yl,
+                        jax.lax.dynamic_index_in_dim(buf, m_clip, 0, keepdims=False),
+                    ),
+                    m_clip,
+                    0,
+                )
+                for buf, yl in zip(outbuf, y)
+            ]
+            y_next = [
+                jax.lax.ppermute(yl, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)])
+                for yl in y
+            ]
             return (y_next, outbuf), None
 
-        acts0 = jnp.zeros(xs.shape[1:], xs.dtype)
-        out0 = jnp.zeros_like(xs)
+        acts0 = [jnp.zeros(x.shape[1:], x.dtype) for x in xs_flat]
+        out0 = [jnp.zeros_like(x) for x in xs_flat]
         (_, outbuf), _ = jax.lax.scan(tick, (acts0, out0), jnp.arange(n_ticks))
         # Only the last stage holds real outputs; replicate over the pipeline
         # axis (one (M, mb, ...) all-reduce at the very end, not per tick).
-        return jax.lax.psum(
-            jnp.where(stage == n_stages - 1, outbuf, jnp.zeros_like(outbuf)), axis
-        )
+        return [
+            jax.lax.psum(jnp.where(stage == n_stages - 1, buf, jnp.zeros_like(buf)), axis)
+            for buf in outbuf
+        ]
 
-    pp = P(axis)
     fn = shard_map(
         stage_program,
         mesh=mesh,
-        in_specs=(pp, P()),
-        out_specs=P(),
+        in_specs=(par_spec, [act_spec] * len(xs_leaves), tuple(act_spec for _ in cond_mb)),
+        out_specs=[act_spec] * len(xs_leaves),
         **_SHARD_MAP_KW,
     )
-    out = fn(stacked_params, x_stack)
-    return out.reshape(batch, *x.shape[1:])
+    out_leaves = fn(stacked_params, xs_leaves, cond_mb)
+    out_leaves = [
+        o.reshape(batch, *leaf.shape[1:]) for o, leaf in zip(out_leaves, carry_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(carry_def, out_leaves)
 
 
 def bubble_fraction(n_stages: int, n_microbatches: int) -> float:
