@@ -306,6 +306,22 @@ def _pick_flash_block(seq: int, cap: int = 1024) -> Optional[int]:
     return best
 
 
+def _pick_padded_flash_block(seq: int, cap: int = 1024) -> int:
+    """Block size for sequences with no 128-multiple divisor (e.g. the
+    CogVideoX joint stream: 226 text + 19968 video = 20194 tokens). The Pallas
+    kernel pads q/kv to the block multiple internally and masks padded KV
+    columns via kv_lens (`flash_attention._flash_forward`), so an exact divisor
+    is NOT required — prefer the largest tuned block whose round-up padding
+    wastes <= ~12.5% compute; 128 (<= 6.2% waste at seq >= 2048) otherwise."""
+    exact = _pick_flash_block(seq, cap)
+    if exact is not None:
+        return exact
+    for blk in (1024, 896, 768, 640, 512, 384, 256):
+        if blk <= cap and -(-seq // blk) * blk <= seq * 1.125:
+            return blk
+    return 128
+
+
 def _make_tagged_tpu_flash():
     """custom_vjp wrapper over the in-tree TPU flash kernel whose fwd rule tags
     its residuals (o, l, m) with the "attn_out" checkpoint name. Under the
@@ -426,12 +442,11 @@ def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, k
         and query.shape[2] == key.shape[2]
         and query.shape[1] == key.shape[1]
         and query.shape[1] >= 2048
-        and _pick_flash_block(query.shape[1]) is not None
     )
     if use_kernel:
         from .flash_attention import flash_attention
 
-        block = _pick_flash_block(query.shape[1])
+        block = _pick_padded_flash_block(query.shape[1])
         cos, sin = rope_freqs if rope_freqs is not None else (None, None)
         return flash_attention(
             query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
@@ -457,8 +472,10 @@ def _register_flash_providers():
                 query = _rotate_interleaved_4d(query, *rope_freqs)
                 key = _rotate_interleaved_4d(key, *rope_freqs)
             return _xla_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
-        bq = _pick_flash_block(query.shape[1]) or DEFAULT_BLOCK_Q
-        bkv = _pick_flash_block(key.shape[1]) or DEFAULT_BLOCK_KV
+        bq = _pick_padded_flash_block(query.shape[1]) if query.shape[1] >= 2048 else (
+            _pick_flash_block(query.shape[1]) or DEFAULT_BLOCK_Q)
+        bkv = _pick_padded_flash_block(key.shape[1]) if key.shape[1] >= 2048 else (
+            _pick_flash_block(key.shape[1]) or DEFAULT_BLOCK_KV)
         cos, sin = rope_freqs if rope_freqs is not None else (None, None)
         return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
                                block_q=bq, block_kv=bkv, rope_cos=cos, rope_sin=sin)

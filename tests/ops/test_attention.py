@@ -366,3 +366,47 @@ class TestFusedRope:
         ref = attention_dispatch(q, k, v, provider="_native_math", kv_lens=kv_lens,
                                  rope_freqs=(cos, sin))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+class TestIndivisibleSequenceLengths:
+    """The CogVideoX joint stream is 226 text + video tokens — e.g. 20194 at
+    49x512x768 — which has NO 128-multiple divisor. The auto provider must
+    still route such shapes to the Pallas kernel (which pads to the block
+    multiple internally and masks padded KV), not fall back to the XLA path
+    that materializes the (B*N, S, S) score tensor (4.8 GB fp32 at that scale;
+    regression for the floor-bench OOM)."""
+
+    def test_padded_block_picker(self):
+        from finetrainers_tpu.ops.attention import (
+            _pick_flash_block,
+            _pick_padded_flash_block,
+        )
+
+        # Divisible lengths keep their exact tuned block.
+        assert _pick_padded_flash_block(2688) == _pick_flash_block(2688) == 896
+        assert _pick_padded_flash_block(16384) == 1024
+        # CogVideoX 49x512x768: 20194 -> 1024 blocks (20480 padded, 1.4% waste).
+        assert _pick_padded_flash_block(20194) == 1024
+        # Worst-case just over the kernel threshold: padding capped at 12.5%.
+        blk = _pick_padded_flash_block(2049)
+        assert -(-2049 // blk) * blk <= 2049 * 1.125
+        # Always a usable block (kernel pads), never None.
+        for s in (2049, 3001, 20194, 20195, 131071):
+            assert _pick_padded_flash_block(s) % 128 == 0
+
+    def test_flash_forward_and_grads_at_indivisible_length(self):
+        # 2338 = 2 * 7 * 167: no 128-multiple divisor, >= 2048 kernel threshold.
+        q, k, v = _qkv(b=1, sq=2338, skv=2338, n=2, h=32)
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        out = attention_dispatch(q, k, v, provider="flash")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+        def loss(fn):
+            def f(q, k, v):
+                return jnp.sum(attention_dispatch(q, k, v, provider=fn) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        gr = loss("_native_math")
+        gf = loss("flash")
+        for a, b in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3, rtol=1e-2)
