@@ -253,8 +253,14 @@ def _fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
         # m is a base-2 logit max; emit natural-log LSE (external contract).
+        # LSE is stored S-last as (B, N, 8, q_pad): a (…, q_pad, 8) layout
+        # tiles T(8,128) with the 8-wide minor dim padded to 128 lanes — a 16x
+        # HBM expansion (480 MB at CogVideoX scale) billed to every save/
+        # rematerialization of the buffer. S-last tiles pad to nothing; the
+        # (bq, 1) -> (1, bq) transpose is an 8 KB VPU shuffle.
         lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)  # (bq, 1)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:]).astype(lse_ref.dtype)
+        lse_row = jax.lax.transpose(lse, (1, 0))  # (1, bq)
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
 def _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad):
@@ -376,7 +382,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
-                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, n, i, j, *_: (b, n, 0, i)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -389,11 +395,11 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         ),
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
-            jax.ShapeDtypeStruct((batch, num_heads, q_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_heads, 8, q_pad), jnp.float32),
         ],
         interpret=_interpret(),
     )(kv_lens, blockmap, *operands)
-    return out[:, :, :q_len], lse[:, :, :q_len, 0]
+    return out[:, :, :q_len], lse[:, :, 0, :q_len]
 
 
 # --------------------------------------------------------------------- backward
@@ -406,8 +412,8 @@ def _bwd_dkdv_kernel(
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
     do_ref,  # (1, 1, bq, H)
-    lse_ref,  # (1, 1, bq, 8)
-    delta_ref,  # (1, 1, bq, 8)
+    lse_ref,  # (1, 1, 8, bq) S-last (see _flash_backward staging note)
+    delta_ref,  # (1, 1, 8, bq)
     *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dk_ref, dv_ref, dk_scr, dv_scr [, rope caches]
     scale: float,
     causal: bool,
@@ -478,8 +484,8 @@ def _bwd_dkdv_kernel(
                 q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
         v = v_ref[0, 0]
         do = do_ref[0, 0]  # (bq, H)
-        lse = lse_ref[0, 0, :, :1].astype(jnp.float32) * _LOG2E  # (bq, 1) base-2
-        delta = delta_ref[0, 0, :, :1].astype(jnp.float32)  # (bq, 1)
+        lse = jax.lax.transpose(lse_ref[0, 0, :1, :], (1, 0)).astype(jnp.float32) * _LOG2E  # (bq, 1) base-2
+        delta = jax.lax.transpose(delta_ref[0, 0, :1, :], (1, 0)).astype(jnp.float32)  # (bq, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -550,8 +556,8 @@ def _bwd_dq_kernel(
     k_ref,  # (1, 1, bkv, H)
     v_ref,  # (1, 1, bkv, H)
     do_ref,  # (1, 1, bq, H)
-    lse_ref,  # (1, 1, bq, 8)
-    delta_ref,  # (1, 1, bq, 8)
+    lse_ref,  # (1, 1, 8, bq) S-last (see _flash_backward staging note)
+    delta_ref,  # (1, 1, 8, bq)
     *rest,  # [q_seg_ref, kv_seg_ref,] [mask_ref,] [rope x4,] dq_ref, dq_scr [, rope caches]
     scale: float,
     causal: bool,
@@ -618,8 +624,8 @@ def _bwd_dq_kernel(
                 q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0, :, :1].astype(jnp.float32) * _LOG2E  # base-2
-        delta = delta_ref[0, 0, :, :1].astype(jnp.float32)
+        lse = jax.lax.transpose(lse_ref[0, 0, :1, :], (1, 0)).astype(jnp.float32) * _LOG2E  # base-2
+        delta = jax.lax.transpose(delta_ref[0, 0, :1, :], (1, 0)).astype(jnp.float32)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -693,12 +699,15 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
     kp = _pad_to(k, kv_pad, 2)
     vp = _pad_to(v, kv_pad, 2)
     dop = _pad_to(do, q_pad, 2)
-    # Pad LSE with +inf so padded q rows give p = exp(s - inf) = 0; replicate over
-    # 8 lanes (Mosaic tiling-friendly layout, matches the forward's LSE output).
+    # Pad LSE with +inf so padded q rows give p = exp(s - inf) = 0. Both per-row
+    # vectors are staged S-last as (B, N, 8, q_pad) — the old (…, q_pad, 8)
+    # layout tiled with the 8-wide dim in lanes, a 16x padded-HBM expansion
+    # (480 MB per buffer at CogVideoX scale) on buffers the remat pass keeps
+    # live; S-last tiles exactly.
     lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad - q_len)), constant_values=jnp.inf)
-    lsep = jnp.broadcast_to(lsep[..., None], (*lsep.shape, 8))
+    lsep = jnp.broadcast_to(lsep[:, :, None, :], (batch, num_heads, 8, q_pad))
     deltap = _pad_to(delta, q_pad, 2)
-    deltap = jnp.broadcast_to(deltap[..., None], (*deltap.shape, 8))
+    deltap = jnp.broadcast_to(deltap[:, :, None, :], (batch, num_heads, 8, q_pad))
 
     cache_rope = (
         has_rope and not has_mask and not causal and not has_segments
@@ -771,8 +780,8 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
-                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, j, i, *_: (b, n, i, 0)),
-                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, j, i, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, n, j, i, *_: (b, n, 0, i)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, n, j, i, *_: (b, n, 0, i)),
             ] + dkdv_seg_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
@@ -803,8 +812,8 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
                 pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
-                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
-                pl.BlockSpec((1, 1, block_q, 8), lambda b, n, i, j, *_: (b, n, i, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, n, i, j, *_: (b, n, 0, i)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, n, i, j, *_: (b, n, 0, i)),
             ] + dq_seg_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
