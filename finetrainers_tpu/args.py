@@ -84,6 +84,7 @@ class BaseArgs:
     # Parallel arguments
     parallel_backend: str = "jax"
     pp_degree: int = 1
+    pp_microbatches: int = 0
     dp_degree: int = 1
     dp_shards: int = 1
     cp_degree: int = 1
@@ -273,7 +274,7 @@ class BaseArgs:
 
         groups: Dict[str, Dict[str, Any]] = {
             "parallel_arguments": {
-                k: getattr(self, k) for k in ("parallel_backend", "pp_degree", "dp_degree", "dp_shards", "cp_degree", "tp_degree")
+                k: getattr(self, k) for k in ("parallel_backend", "pp_degree", "pp_microbatches", "dp_degree", "dp_shards", "cp_degree", "tp_degree")
             },
             "model_arguments": {
                 k: _ser(getattr(self, k))
@@ -339,6 +340,11 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     # Parallel
     parser.add_argument("--parallel_backend", type=str, default="jax", choices=["jax", "ptd", "accelerate"])
     parser.add_argument("--pp_degree", type=int, default=1)
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="GPipe microbatch count when --pp_degree > 1 (0 = auto: one microbatch"
+        " per data-parallel batch slice). Bubble fraction is (pp-1)/(M+pp-1).",
+    )
     parser.add_argument("--dp_degree", type=int, default=1)
     parser.add_argument("--dp_shards", type=int, default=1)
     parser.add_argument("--cp_degree", type=int, default=1)
@@ -473,7 +479,14 @@ def _validate_args(args: BaseArgs) -> None:
     if world < 1:
         raise ValueError("Parallel degrees must be >= 1")
     if args.pp_degree > 1:
-        raise NotImplementedError("Pipeline parallelism is not supported.")
+        # Beyond-reference: the reference raises here (trainer/sft_trainer/
+        # trainer.py:91-94); this build trains pp>1 via the GPipe primitive.
+        if args.cp_degree > 1 or args.tp_degree > 1:
+            raise NotImplementedError("pp_degree > 1 composes with dp axes only (not cp/tp).")
+        if args.pp_microbatches and args.batch_size % args.pp_microbatches != 0:
+            raise ValueError(
+                f"batch_size={args.batch_size} must be divisible by pp_microbatches={args.pp_microbatches}"
+            )
     if args.batch_size < 1:
         raise ValueError("batch_size must be >= 1")
     if args.gradient_accumulation_steps < 1:

@@ -212,6 +212,7 @@ class CogVideoXTransformer3DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
+            parent=self,
         )
 
         full = jnp.concatenate([context, x], axis=1)

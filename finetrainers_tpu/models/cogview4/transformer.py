@@ -159,6 +159,7 @@ class CogView4Transformer2DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
+            parent=self,
         )
 
         mod = LoRADense(2 * inner, dtype=self.dtype, name="norm_out_linear")(nn.silu(temb))

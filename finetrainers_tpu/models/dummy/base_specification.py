@@ -119,6 +119,7 @@ class DummyTransformer(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self._checkpoint(),
             list_name="blocks",
+            parent=self,
         )
 
         x = LayerNorm(dtype=self.dtype, name="norm_out")(x)
@@ -201,6 +202,13 @@ class DummyModelSpecification(ModelSpecification):
             "in_channels": 4, "dim": 64, "num_heads": 2, "num_layers": 2,
             "caption_dim": self.caption_dim, "patch_size": (1, 2, 2),
         }
+        # Test knobs (e2e pipeline-parallel runs need a deeper, scanned stack).
+        import os as _os
+
+        if _os.environ.get("FINETRAINERS_DUMMY_LAYERS"):
+            self.transformer_config["num_layers"] = int(_os.environ["FINETRAINERS_DUMMY_LAYERS"])
+        if _os.environ.get("FINETRAINERS_DUMMY_USE_SCAN"):
+            self.transformer_config["use_scan"] = _os.environ["FINETRAINERS_DUMMY_USE_SCAN"] == "1"
         self.vae_config = {
             "latent_channels": 4, "spatial_compression_ratio": 8, "temporal_compression_ratio": 1,
         }

@@ -239,6 +239,7 @@ class FluxTransformer2DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
+            parent=self,
         )
 
         x = jnp.concatenate([txt, img], axis=1)
@@ -252,6 +253,7 @@ class FluxTransformer2DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="single_transformer_blocks",
+            parent=self,
         )
         img = x[:, txt.shape[1] :]
 

@@ -173,6 +173,7 @@ class HunyuanVideoTransformer3DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
+            parent=self,
         )
         full = jnp.concatenate([txt, x], axis=1)
         full = block_stack(
@@ -185,6 +186,7 @@ class HunyuanVideoTransformer3DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="single_transformer_blocks",
+            parent=self,
         )
         x = full[:, txt.shape[1]:]
 

@@ -341,10 +341,20 @@ def block_stack(
     use_scan: Optional[bool] = None,
     checkpoint: Optional[str] = None,
     list_name: str = "transformer_blocks",
+    parent=None,
 ):
     """Run `length` identical blocks over `carry`, either as a Python loop
     (per-block params "<list_name>_<i>") or via nn.scan with stacked params
     ("<list_name>_scan.block[_j]" with a leading layer axis).
+
+    `parent` (the calling flax module) enables the pipeline-parallel path:
+    when `parallel.pipeline.get_pipeline_context()` is set (trainer started
+    with --pp_degree > 1), the scanned stack is applied through the GPipe
+    primitive (`parallel.pipeline_blocks`) over the "pp" mesh axis instead of
+    a sequential scan — the stacked params (read from `parent`'s bound scope,
+    identical checkpoint layout) are layer-sharded over pp and microbatched
+    activations hop stages via ppermute. Falls back to the sequential scan
+    (with a one-time warning) when depth/batch aren't divisible.
 
     The TPU analog of the reference's regional compile + block-wise
     checkpoint_wrapper (`utils/torch.py:44-65`, `utils/activation_checkpoint.py`):
@@ -385,6 +395,19 @@ def block_stack(
                 c = blk(*(c if tuple_carry else (c,)), *bc)
             return c, None
 
+    if parent is not None and not parent.is_initializing():
+        from ..parallel.pipeline import get_pipeline_context
+
+        pp_ctx = get_pipeline_context()
+        if pp_ctx is not None:
+            done, out = _pipeline_apply_stack(
+                parent, _Body, pp_ctx, list_name, carry, broadcast_args, checkpoint, n_scan
+            )
+            if done:
+                for i in range(length - rem, length):
+                    out = _apply(block_cls(**block_kwargs, name=f"{list_name}_{i}"), out)
+                return out
+
     body = _Body
     if checkpoint is not None:
         policy = get_checkpoint_policy("full" if checkpoint == "block_skip" else checkpoint)
@@ -401,6 +424,95 @@ def block_stack(
     for i in range(length - rem, length):
         carry = _apply(block_cls(**block_kwargs, name=f"{list_name}_{i}"), carry)
     return carry
+
+
+_PP_FALLBACK_WARNED: set = set()
+
+
+def _pipeline_apply_stack(parent, body_cls, ctx, list_name, carry, broadcast_args, checkpoint, n_scan):
+    """Apply a scanned block stack through the GPipe primitive
+    (`parallel.pipeline_blocks`): stacked params read from `parent`'s bound
+    scope (same checkpoint layout the nn.scan path creates), each stage
+    applying its layer slab functionally with the same remat policy the scan
+    path would use. Returns (True, carry_out), or (False, None) to fall back
+    to the sequential scan when the shape constraints don't hold."""
+    import warnings
+
+    from ..parallel.pipeline import pipeline_blocks
+    from ..utils.activation_checkpoint import get_checkpoint_policy
+
+    def _warn(reason):
+        key = (list_name, reason)
+        if key not in _PP_FALLBACK_WARNED:
+            _PP_FALLBACK_WARNED.add(key)
+            warnings.warn(
+                f"pipeline-parallel fallback to sequential scan for '{list_name}': {reason}"
+            )
+
+    n_stages = ctx.mesh.shape.get(ctx.axis, 1)
+    if n_stages <= 1:
+        return False, None
+    if n_scan % n_stages != 0:
+        _warn(f"{n_scan} scanned layers not divisible by {n_stages} stages")
+        return False, None
+
+    batch = jax.tree_util.tree_leaves(carry)[0].shape[0]
+    dp_axes = tuple(ax for ax in ctx.batch_shard_axes if ctx.mesh.shape.get(ax, 1) > 1)
+    dp_size = 1
+    for ax in dp_axes:
+        dp_size *= ctx.mesh.shape[ax]
+    # Auto microbatching: one microbatch per data-parallel batch slice.
+    n_mb = ctx.n_microbatches or (batch // dp_size if batch % dp_size == 0 else 0)
+    if n_mb < 1 or batch % n_mb != 0 or (batch // n_mb) % dp_size != 0:
+        _warn(f"batch {batch} not divisible into {n_mb or '?'} microbatches over dp={dp_size}")
+        return False, None
+
+    name = f"{list_name}{SCAN_SUFFIX}"
+    try:
+        stacked = parent.variables["params"][name]
+    except KeyError:
+        _warn(f"no stacked params '{name}' in parent scope")
+        return False, None
+
+    # Split broadcast args into per-sample conditioning (microbatched alongside
+    # the carry) and static tensors (rope tables etc., replicated to every
+    # stage): an arg is batched iff every leaf's dim 0 equals the carry batch.
+    templates = []
+    mb_leaves = []
+    for a in broadcast_args:
+        leaves, treedef = jax.tree_util.tree_flatten(a)
+        if leaves and all(getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == batch for leaf in leaves):
+            templates.append(("batched", treedef, len(leaves)))
+            mb_leaves.extend(leaves)
+        else:
+            templates.append(("static", a, None))
+
+    def block_fn(layer_params, c, *sliced):
+        it = iter(sliced)
+        args = []
+        for kind, t, n in templates:
+            if kind == "batched":
+                args.append(jax.tree_util.tree_unflatten(t, [next(it) for _ in range(n)]))
+            else:
+                args.append(t)
+        out, _ = body_cls().apply({"params": layer_params}, c, *args)
+        return out
+
+    if checkpoint is not None:
+        policy = get_checkpoint_policy("full" if checkpoint == "block_skip" else checkpoint)
+        block_fn = jax.checkpoint(block_fn, policy=policy, prevent_cse=False)
+
+    out = pipeline_blocks(
+        block_fn,
+        stacked,
+        carry,
+        mesh=ctx.mesh,
+        axis=ctx.axis,
+        n_microbatches=n_mb,
+        batched_args=tuple(mb_leaves),
+        batch_shard_axes=dp_axes,
+    )
+    return True, out
 
 
 def axial_rope_freqs(

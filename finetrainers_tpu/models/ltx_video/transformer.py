@@ -301,6 +301,7 @@ class LTXVideoTransformer3DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
+            parent=self,
         )
 
         table = self.param("scale_shift_table", nn.initializers.normal(inner**-0.5), (2, inner), jnp.float32)

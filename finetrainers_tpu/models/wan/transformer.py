@@ -220,6 +220,7 @@ class WanTransformer3DModel(nn.Module):
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="blocks",
+            parent=self,
         )
 
         table = self.param("scale_shift_table", nn.initializers.normal(inner**-0.5), (1, 2, inner), jnp.float32)

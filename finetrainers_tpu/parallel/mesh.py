@@ -4,7 +4,7 @@ The reference (`finetrainers/parallel/ptd.py:41-279`) builds a torch DeviceMesh 
 *imperatively* applies DDP / FSDP2 / HSDP / TP wrappers and CP hooks. On TPU the whole
 matrix collapses into ONE object: a `jax.sharding.Mesh` with named axes
 
-    ("dp_replicate", "dp_shard", "cp", "tp")
+    ("pp", "dp_replicate", "dp_shard", "cp", "tp")
 
 plus `NamedSharding` rules. GSPMD then *derives* the collectives:
 
@@ -13,6 +13,9 @@ plus `NamedSharding` rules. GSPMD then *derives* the collectives:
   - HSDP          = both dp axes populated
   - TP            = params sharded on "tp" along head/ffn dims
   - CP            = activation sequence dim sharded on "cp" (+ ring attention kernel)
+  - PP            = block-stack layer axis sharded on "pp"; the GPipe schedule
+                    itself is the one construct GSPMD cannot derive, so it is
+                    explicit (`pipeline.pipeline_blocks`, shard_map + ppermute)
 
 Reference mesh construction semantics mirrored here: nonzero degrees in order
 (pp, dp_replicate, dp_shard, cp, tp) with world-size divisibility check
@@ -30,12 +33,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
+AXIS_PP = "pp"
 AXIS_DP_REPLICATE = "dp_replicate"
 AXIS_DP_SHARD = "dp_shard"
 AXIS_CP = "cp"
 AXIS_TP = "tp"
 
-MESH_AXES = (AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_CP, AXIS_TP)
+# pp is outermost: pipeline hops are the rarest/most latency-tolerant
+# collective, so they get the longest mesh strides (reference order
+# pp, dp_replicate, dp_shard, cp, tp — `parallel/ptd.py:161-209`).
+MESH_AXES = (AXIS_PP, AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_CP, AXIS_TP)
 
 # Batch dimension of data tensors is sharded across every data-parallel-ish axis.
 # (The reference flattens ("dp_replicate","dp_shard") into "dp"; in JAX a tuple of
@@ -49,8 +56,10 @@ LOSS_REDUCE_AXES = (AXIS_DP_REPLICATE, AXIS_DP_SHARD, AXIS_CP)
 
 @dataclasses.dataclass(frozen=True)
 class ParallelDims:
-    """Degrees of parallelism. pp is accepted for CLI parity but must be 1 (the
-    reference also raises for pp > 1, `trainer/sft_trainer/trainer.py:91-94`)."""
+    """Degrees of parallelism. Unlike the reference — which raises for pp > 1
+    (`trainer/sft_trainer/trainer.py:91-94`) — pp > 1 is a trained path here:
+    the transformer block stack runs through the differentiable GPipe
+    primitive (`parallel.pipeline_blocks`) over the "pp" mesh axis."""
 
     dp_replicate: int = 1
     dp_shard: int = 1
@@ -59,19 +68,19 @@ class ParallelDims:
     pp: int = 1
 
     def __post_init__(self):
-        if self.pp != 1:
+        if self.pp > 1 and (self.cp > 1 or self.tp > 1):
             raise NotImplementedError(
-                "Pipeline parallelism is not wired into the trainer CLI (matches reference"
-                " behavior); a tested differentiable GPipe primitive is available as"
-                " finetrainers_tpu.parallel.pipeline_blocks."
+                "pp composes with the data-parallel axes (dp_replicate/dp_shard);"
+                " pp x cp and pp x tp are not wired (the GPipe stage program is a"
+                " shard_map body where GSPMD cp/tp propagation does not apply)."
             )
-        for name in ("dp_replicate", "dp_shard", "cp", "tp"):
+        for name in ("pp", "dp_replicate", "dp_shard", "cp", "tp"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
 
     @property
     def world_size(self) -> int:
-        return self.dp_replicate * self.dp_shard * self.cp * self.tp
+        return self.pp * self.dp_replicate * self.dp_shard * self.cp * self.tp
 
     @classmethod
     def from_args(cls, args) -> "ParallelDims":
@@ -97,7 +106,7 @@ def _build_device_array(dims: "ParallelDims", devices: Sequence[jax.Device]) -> 
     - Any failure (CPU meshes, unusual shapes) falls back to the contiguous
       reshape — always correct, possibly topology-suboptimal.
     """
-    shape = (dims.dp_replicate, dims.dp_shard, dims.cp, dims.tp)
+    shape = (dims.pp, dims.dp_replicate, dims.dp_shard, dims.cp, dims.tp)
     slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devices})
     try:
         from jax.experimental import mesh_utils
@@ -105,11 +114,11 @@ def _build_device_array(dims: "ParallelDims", devices: Sequence[jax.Device]) -> 
         if len(slice_ids) > 1:
             n = len(slice_ids)
             if dims.dp_replicate % n == 0:
-                dcn = (n, 1, 1, 1)
-                ici = (dims.dp_replicate // n, dims.dp_shard, dims.cp, dims.tp)
+                dcn = (1, n, 1, 1, 1)
+                ici = (dims.pp, dims.dp_replicate // n, dims.dp_shard, dims.cp, dims.tp)
             elif dims.dp_shard % n == 0:
-                dcn = (1, n, 1, 1)
-                ici = (dims.dp_replicate, dims.dp_shard // n, dims.cp, dims.tp)
+                dcn = (1, 1, n, 1, 1)
+                ici = (dims.pp, dims.dp_replicate, dims.dp_shard // n, dims.cp, dims.tp)
             else:
                 raise ValueError("no data-parallel axis divisible by the slice count")
             return mesh_utils.create_hybrid_device_mesh(
@@ -186,7 +195,7 @@ class MeshEnv:
 
     @property
     def pipeline_parallel_enabled(self) -> bool:
-        return False
+        return self.dims.pp > 1
 
     # ------------------------------------------------------------------ shardings
     def sharding(self, *spec) -> NamedSharding:
@@ -240,7 +249,11 @@ class MeshEnv:
         (jax.device_put(0.0) + 0).block_until_ready()
 
     def destroy(self) -> None:
-        pass
+        # Clear the trace-time pipeline routing so a later trainer (or test)
+        # in the same process doesn't inherit this mesh's GPipe context.
+        from .pipeline import set_pipeline_context
+
+        set_pipeline_context(None)
 
     @property
     def local_batch_size_divisor(self) -> int:

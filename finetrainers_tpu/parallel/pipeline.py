@@ -52,7 +52,46 @@ except ImportError:  # pragma: no cover
 
     _SHARD_MAP_KW = {"check_rep": False}
 
-__all__ = ["pipeline_blocks", "bubble_fraction"]
+__all__ = [
+    "pipeline_blocks",
+    "bubble_fraction",
+    "PipelineContext",
+    "set_pipeline_context",
+    "get_pipeline_context",
+]
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineContext:
+    """Trace-time routing record: when set, `models.layers.block_stack` runs
+    its scanned stack through `pipeline_blocks` over `axis` instead of a
+    sequential `nn.scan`. Set by the trainer when `--pp_degree > 1`
+    (the reference raises there, `trainer/sft_trainer/trainer.py:91-94` —
+    this is the beyond-parity trained PP path).
+
+    n_microbatches == 0 means auto: one microbatch per data-parallel batch
+    slice (M = global_batch / prod(batch_shard_axes sizes)).
+    """
+
+    mesh: Mesh
+    axis: str = "pp"
+    n_microbatches: int = 0
+    batch_shard_axes: Tuple[str, ...] = ()
+
+
+_PIPELINE_CTX: "PipelineContext | None" = None
+
+
+def set_pipeline_context(ctx: "PipelineContext | None") -> None:
+    global _PIPELINE_CTX
+    _PIPELINE_CTX = ctx
+
+
+def get_pipeline_context() -> "PipelineContext | None":
+    return _PIPELINE_CTX
 
 
 def _leading_dim(tree: Any) -> int:

@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from .mesh import AXIS_DP_SHARD, AXIS_TP
+from .mesh import AXIS_DP_SHARD, AXIS_PP, AXIS_TP
 
 
 # Matches params under a scan-over-layers stack ("<list>_scan.block[_j].<param>",
@@ -80,13 +80,22 @@ def make_param_shardings(
         shape = getattr(leaf, "shape", ())
         spec = [None] * len(shape)
         taken = []
-        # scan-stacked params carry a leading layer axis: never shard it (a
-        # sharded layer axis would force a collective per scan iteration), and
-        # shift TP specs (written for the unstacked shape) right by one dim.
+        # scan-stacked params carry a leading layer axis. Under pipeline
+        # parallelism it IS the pp shard axis (each stage holds a contiguous
+        # layer slab — `parallel/pipeline.pipeline_blocks`); otherwise never
+        # shard it (a sharded layer axis would force a collective per scan
+        # iteration). TP specs (written for the unstacked shape) shift right.
         stacked = SCAN_STACK_RE.search(path_s) is not None
         offset = 1 if stacked else 0
+        pp_size = mesh.shape.get(AXIS_PP, 1)
         if stacked:
             taken.append(0)
+            if pp_size > 1 and shape and shape[0] % pp_size == 0:
+                # pp-sharded stacks stay un-FSDP'd: inside the shard_map stage
+                # program only the pp axis is mapped onto the layer dim, and an
+                # extra dp_shard dim-sharding would just all-gather at entry.
+                spec[0] = AXIS_PP
+                return NamedSharding(mesh, PartitionSpec(*spec))
         for pattern, tp_spec in tp_rules:
             if re.search(pattern, path_s):
                 for i, axis in enumerate(tuple(tp_spec)):

@@ -66,6 +66,24 @@ class Trainer:
         logger.info(
             f"Initialized mesh: {dict(self.mesh_env.mesh.shape)} over {self.mesh_env.world_size} device(s)"
         )
+        if self.mesh_env.pipeline_parallel_enabled:
+            # Route every model's scanned block stack through the GPipe
+            # primitive (models/layers.block_stack reads this at trace time).
+            from ..parallel.pipeline import PipelineContext, set_pipeline_context
+            from ..parallel.mesh import BATCH_AXES
+
+            set_pipeline_context(
+                PipelineContext(
+                    mesh=self.mesh_env.mesh,
+                    axis="pp",
+                    n_microbatches=getattr(self.args, "pp_microbatches", 0),
+                    batch_shard_axes=BATCH_AXES,
+                )
+            )
+            logger.info(
+                f"Pipeline parallelism enabled: {dims.pp} stages, "
+                f"microbatches={getattr(self.args, 'pp_microbatches', 0) or 'auto'}"
+            )
 
     def _init_determinism(self) -> None:
         seed = self.args.seed if self.args.seed is not None else 0

@@ -14,9 +14,15 @@ class TestParallelDims:
         dims = ParallelDims(dp_replicate=2, dp_shard=2, cp=2, tp=1)
         assert dims.world_size == 8
 
-    def test_pp_raises(self):
+    def test_pp_allowed_with_dp_only(self):
+        # pp is a trained path (beyond the reference, which raises for pp>1);
+        # it composes with the dp axes only.
+        dims = ParallelDims(pp=2, dp_replicate=2, dp_shard=2)
+        assert dims.world_size == 8
         with pytest.raises(NotImplementedError):
-            ParallelDims(pp=2)
+            ParallelDims(pp=2, cp=2)
+        with pytest.raises(NotImplementedError):
+            ParallelDims(pp=2, tp=2)
 
     def test_invalid_degree(self):
         with pytest.raises(ValueError):
@@ -130,7 +136,7 @@ class TestDeviceArrayLayout:
 
         devices = jax.devices()
         arr = _build_device_array(ParallelDims(dp_shard=4, cp=2), devices)
-        assert arr.shape == (1, 4, 2, 1)
+        assert arr.shape == (1, 1, 4, 2, 1)
         assert set(arr.ravel().tolist()) == set(devices)
 
     def test_unmappable_topology_falls_back_to_reshape(self):
@@ -148,7 +154,7 @@ class TestDeviceArrayLayout:
         # stubs, so the builder must fall back to the contiguous reshape.
         devices = [FakeDev(i, i // 4) for i in range(8)]
         arr = _build_device_array(ParallelDims(dp_replicate=2, dp_shard=4), devices)
-        assert arr.shape == (2, 4, 1, 1)
+        assert arr.shape == (1, 2, 4, 1, 1)
         assert [d.id for d in arr.ravel().tolist()] == list(range(8))
 
 

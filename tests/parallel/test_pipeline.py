@@ -230,3 +230,163 @@ class TestPipelineComposesWithDP:
             )
         )(params, x_sharded)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+
+
+class TestBlockStackPipeline:
+    """`models.layers.block_stack(parent=...)` must route through
+    `pipeline_blocks` when a PipelineContext is set (the trainer's
+    --pp_degree > 1 path) and match the sequential scan in forward AND
+    gradients, composed with both dp axes, per-sample + static broadcast
+    args, and the "ops" remat policy."""
+
+    def _model(self):
+        import flax.linen as nn
+        from finetrainers_tpu.models.layers import block_stack
+
+        class Blk(nn.Module):
+            dim: int = 32
+
+            @nn.compact
+            def __call__(self, x, ctx, freqs):
+                h = nn.Dense(self.dim)(x) + nn.Dense(self.dim)(ctx).mean(axis=1, keepdims=True)
+                return x + jnp.tanh(h) * freqs[None, : x.shape[1]]
+
+        class Model(nn.Module):
+            n_layers: int = 8
+
+            @nn.compact
+            def __call__(self, x, ctx, freqs):
+                return block_stack(
+                    Blk, dict(dim=32), self.n_layers, x,
+                    broadcast_args=(ctx, freqs), use_scan=True,
+                    checkpoint="ops", parent=self,
+                )
+
+        return Model()
+
+    def _data(self):
+        B, S, D_ = 8, 16, 32
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, S, D_))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 4, D_))
+        freqs = jax.random.normal(jax.random.PRNGKey(2), (S, D_))
+        return x, ctx, freqs
+
+    def test_parity_pp2_dp2x2(self):
+        from finetrainers_tpu.parallel import (
+            MeshEnv,
+            ParallelDims,
+            PipelineContext,
+            make_param_shardings,
+            set_pipeline_context,
+        )
+
+        model = self._model()
+        x, ctx, freqs = self._data()
+        params = model.init(jax.random.PRNGKey(3), x, ctx, freqs)["params"]
+
+        def loss(p):
+            return jnp.sum(model.apply({"params": p}, x, ctx, freqs) ** 2)
+
+        ref_val, ref_grad = jax.value_and_grad(loss)(params)
+
+        env = MeshEnv(ParallelDims(pp=2, dp_replicate=2, dp_shard=2))
+        set_pipeline_context(
+            PipelineContext(
+                mesh=env.mesh, n_microbatches=0,
+                batch_shard_axes=("dp_replicate", "dp_shard"),
+            )
+        )
+        try:
+            shardings = make_param_shardings(params, env.mesh)
+            # The stacked block params must be layer-sharded over pp.
+            stack_spec = shardings["transformer_blocks_scan"]["block"]["Dense_0"]["kernel"].spec
+            assert stack_spec[0] == "pp", stack_spec
+            p_sh = jax.tree_util.tree_map(jax.device_put, params, shardings)
+            val, grad = jax.jit(jax.value_and_grad(loss))(p_sh, )
+            np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(grad), jax.tree_util.tree_leaves(ref_grad)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+        finally:
+            env.destroy()
+        from finetrainers_tpu.parallel import get_pipeline_context
+
+        assert get_pipeline_context() is None  # destroy() cleared it
+
+    def test_fallback_when_indivisible(self, recwarn):
+        """7 microbatches don't divide batch 8 -> sequential-scan fallback,
+        same numerics, one warning."""
+        from finetrainers_tpu.parallel import (
+            MeshEnv,
+            ParallelDims,
+            PipelineContext,
+            set_pipeline_context,
+        )
+        import finetrainers_tpu.models.layers as layers_mod
+
+        model = self._model()
+        x, ctx, freqs = self._data()
+        params = model.init(jax.random.PRNGKey(3), x, ctx, freqs)["params"]
+        ref = model.apply({"params": params}, x, ctx, freqs)
+
+        env = MeshEnv(ParallelDims(pp=2, dp_shard=4))
+        layers_mod._PP_FALLBACK_WARNED.clear()
+        set_pipeline_context(PipelineContext(mesh=env.mesh, n_microbatches=7))
+        try:
+            out = model.apply({"params": params}, x, ctx, freqs)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+            assert any("fallback" in str(w.message) for w in recwarn.list)
+        finally:
+            env.destroy()
+
+    def test_dual_stream_tuple_carry(self):
+        """Flux/HunyuanVideo-style (img, txt) tuple carries must round-trip the
+        block_stack pipeline path with parity (the carry pytree hops stages)."""
+        import flax.linen as nn
+        from finetrainers_tpu.models.layers import block_stack
+        from finetrainers_tpu.parallel import (
+            MeshEnv,
+            ParallelDims,
+            PipelineContext,
+            set_pipeline_context,
+        )
+
+        class DualBlk(nn.Module):
+            dim: int = 16
+
+            @nn.compact
+            def __call__(self, img, txt, temb):
+                m = nn.Dense(self.dim)(temb)[:, None, :]
+                img = img + jnp.tanh(nn.Dense(self.dim)(img) + m)
+                txt = txt + jnp.tanh(nn.Dense(self.dim)(txt) - m)
+                return img, txt
+
+        class Model(nn.Module):
+            n_layers: int = 4
+
+            @nn.compact
+            def __call__(self, img, txt, temb):
+                return block_stack(
+                    DualBlk, dict(dim=16), self.n_layers, (img, txt),
+                    broadcast_args=(temb,), use_scan=True, parent=self,
+                )
+
+        B = 4
+        img = jax.random.normal(jax.random.PRNGKey(0), (B, 8, 16))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (B, 3, 16))
+        temb = jax.random.normal(jax.random.PRNGKey(2), (B, 16))
+        model = Model()
+        params = model.init(jax.random.PRNGKey(3), img, txt, temb)["params"]
+        ref_img, ref_txt = model.apply({"params": params}, img, txt, temb)
+
+        env = MeshEnv(ParallelDims(pp=4, dp_shard=2))
+        set_pipeline_context(
+            PipelineContext(mesh=env.mesh, batch_shard_axes=("dp_shard",))
+        )
+        try:
+            out_img, out_txt = jax.jit(
+                lambda p: model.apply({"params": p}, img, txt, temb)
+            )(params)
+            np.testing.assert_allclose(np.asarray(out_img), np.asarray(ref_img), rtol=2e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out_txt), np.asarray(ref_txt), rtol=2e-5, atol=1e-5)
+        finally:
+            env.destroy()

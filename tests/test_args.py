@@ -27,9 +27,17 @@ class TestBaseArgs:
         args = BaseArgs().parse_args(MINIMAL + ["--dp_degree", "2", "--dp_shards", "4", "--cp_degree", "1"])
         assert args.dp_degree == 2 and args.dp_shards == 4
 
-    def test_pp_raises(self):
+    def test_pp_accepted_dp_only(self):
+        # pp>1 is accepted (trained GPipe path, beyond the reference) but only
+        # composed with the data-parallel axes.
+        args = BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2"])
+        assert args.pp_degree == 2
         with pytest.raises(NotImplementedError):
-            BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2"])
+            BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2", "--cp_degree", "2"])
+        with pytest.raises(ValueError):
+            BaseArgs().parse_args(
+                MINIMAL + ["--pp_degree", "2", "--batch_size", "4", "--pp_microbatches", "3"]
+            )
 
     def test_flow_args(self):
         args = BaseArgs().parse_args(MINIMAL + ["--flow_weighting_scheme", "logit_normal", "--flow_shift", "3.0"])

@@ -123,6 +123,27 @@ class TestSFTTrainer:
         meta = safetensors.safe_open(str(path), framework="pt").metadata()
         assert "lora_config" in meta
 
+    def test_lora_pipeline_parallel(self, tmp_path, tiny_dataset, monkeypatch):
+        """--pp_degree 2 trains end-to-end (beyond the reference, which raises
+        for pp > 1: trainer/sft_trainer/trainer.py:91-94). pp=2 x dp_degree=2 x
+        dp_shards=2 over the 8-device mesh; the dummy stack is deepened to 4
+        scanned layers so it splits into two pipeline stages."""
+        monkeypatch.setenv("FINETRAINERS_DUMMY_LAYERS", "4")
+        monkeypatch.setenv("FINETRAINERS_DUMMY_USE_SCAN", "1")
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--pp_degree", "2", "--dp_degree", "2",
+             "--dp_shards", "2"],
+            train_steps=6,
+        )
+        lora_exports = sorted(os.listdir(tmp_path / "lora_weights"))
+        assert "000006" in lora_exports
+        # The trainer must clear the trace-time pipeline routing on teardown.
+        from finetrainers_tpu.parallel import get_pipeline_context
+
+        assert get_pipeline_context() is None
+
     def test_full_finetune_hsdp(self, tmp_path, tiny_dataset):
         _run_training(
             tmp_path, tiny_dataset,
