@@ -156,6 +156,7 @@ class CogView4Transformer2DModel(nn.Module):
             self.num_layers,
             (x, context),
             broadcast_args=(temb, freqs),
+            broadcast_kinds=("batched", "static"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",

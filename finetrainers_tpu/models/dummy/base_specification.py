@@ -116,6 +116,7 @@ class DummyTransformer(nn.Module):
             self.num_layers,
             x,
             broadcast_args=(context, temb, encoder_kv_lens),
+            broadcast_kinds=("batched", "batched", "batched"),
             use_scan=self.use_scan,
             checkpoint=self._checkpoint(),
             list_name="blocks",
@@ -194,6 +195,11 @@ class DummyModelSpecification(ModelSpecification):
     caption_dim = 32
     caption_len = 16
 
+    # Explicit test hook: fixtures that need a different dummy architecture
+    # (e.g. a deeper scanned stack for pipeline-parallel e2e runs) set this
+    # class attribute via monkeypatch instead of ambient environment variables.
+    transformer_config_overrides: Dict[str, Any] = {}
+
     def __init__(self, *args, lora_rank: int = 0, lora_alpha: float = 1.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.lora_rank = lora_rank
@@ -202,13 +208,7 @@ class DummyModelSpecification(ModelSpecification):
             "in_channels": 4, "dim": 64, "num_heads": 2, "num_layers": 2,
             "caption_dim": self.caption_dim, "patch_size": (1, 2, 2),
         }
-        # Test knobs (e2e pipeline-parallel runs need a deeper, scanned stack).
-        import os as _os
-
-        if _os.environ.get("FINETRAINERS_DUMMY_LAYERS"):
-            self.transformer_config["num_layers"] = int(_os.environ["FINETRAINERS_DUMMY_LAYERS"])
-        if _os.environ.get("FINETRAINERS_DUMMY_USE_SCAN"):
-            self.transformer_config["use_scan"] = _os.environ["FINETRAINERS_DUMMY_USE_SCAN"] == "1"
+        self.transformer_config.update(self.transformer_config_overrides)
         self.vae_config = {
             "latent_channels": 4, "spatial_compression_ratio": 8, "temporal_compression_ratio": 1,
         }

@@ -236,6 +236,7 @@ class FluxTransformer2DModel(nn.Module):
             self.num_layers,
             (img, txt),
             broadcast_args=(temb, freqs),
+            broadcast_kinds=("batched", "static"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
@@ -250,6 +251,7 @@ class FluxTransformer2DModel(nn.Module):
             self.num_single_layers,
             x,
             broadcast_args=(temb, freqs),
+            broadcast_kinds=("batched", "static"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="single_transformer_blocks",

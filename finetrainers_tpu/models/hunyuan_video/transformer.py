@@ -170,6 +170,7 @@ class HunyuanVideoTransformer3DModel(nn.Module):
             self.num_layers,
             (x, txt),
             broadcast_args=(temb, freqs),
+            broadcast_kinds=("batched", "static"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",
@@ -183,6 +184,7 @@ class HunyuanVideoTransformer3DModel(nn.Module):
             self.num_single_layers,
             full,
             broadcast_args=(temb, freqs),
+            broadcast_kinds=("batched", "static"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="single_transformer_blocks",

@@ -342,6 +342,7 @@ def block_stack(
     checkpoint: Optional[str] = None,
     list_name: str = "transformer_blocks",
     parent=None,
+    broadcast_kinds: Optional[Tuple[str, ...]] = None,
 ):
     """Run `length` identical blocks over `carry`, either as a Python loop
     (per-block params "<list_name>_<i>") or via nn.scan with stacked params
@@ -364,6 +365,13 @@ def block_stack(
     carry may be a single array or a tuple (dual-stream blocks); the block must
     accept (*carry, *broadcast_args) positionally and return the same carry
     structure. checkpoint: None | "full" | "ops" | "block_skip".
+
+    broadcast_kinds explicitly tags each broadcast arg for the pipeline path:
+    "batched" = per-sample conditioning with a leading batch dim (sliced into
+    microbatches alongside the carry); "static" = replicated to every stage
+    verbatim (RoPE tables, python scalars, None). Required whenever a
+    PipelineContext is active — per-sample vs static is NOT inferable from
+    shapes (a static (S, D) table with S == B would be silently mis-sliced).
     """
     from ..utils.activation_checkpoint import get_checkpoint_policy
 
@@ -375,6 +383,17 @@ def block_stack(
 
     group = scan_group_size(checkpoint)
     if not resolve_use_scan(use_scan, length) or length < group:
+        if parent is not None and not parent.is_initializing():
+            from ..parallel.pipeline import get_pipeline_context
+
+            if get_pipeline_context() is not None:
+                _pp_fallback_warn(
+                    list_name,
+                    f"stack of {length} blocks takes the non-scan path (use_scan="
+                    f"{use_scan}, auto threshold {SCAN_DEPTH_THRESHOLD}) — pipeline "
+                    f"parallelism is INACTIVE for this stack; every pp rank runs the "
+                    f"full depth redundantly. Set use_scan=True to pipeline it.",
+                )
         for i in range(length):
             cls = block_cls
             if checkpoint is not None and (checkpoint != "block_skip" or i % 2 == 0):
@@ -401,7 +420,8 @@ def block_stack(
         pp_ctx = get_pipeline_context()
         if pp_ctx is not None:
             done, out = _pipeline_apply_stack(
-                parent, _Body, pp_ctx, list_name, carry, broadcast_args, checkpoint, n_scan
+                parent, _Body, pp_ctx, list_name, carry, broadcast_args, checkpoint, n_scan,
+                broadcast_kinds,
             )
             if done:
                 for i in range(length - rem, length):
@@ -429,25 +449,30 @@ def block_stack(
 _PP_FALLBACK_WARNED: set = set()
 
 
-def _pipeline_apply_stack(parent, body_cls, ctx, list_name, carry, broadcast_args, checkpoint, n_scan):
+def _pp_fallback_warn(list_name: str, reason: str) -> None:
+    import warnings
+
+    key = (list_name, reason)
+    if key not in _PP_FALLBACK_WARNED:
+        _PP_FALLBACK_WARNED.add(key)
+        warnings.warn(
+            f"pipeline-parallel fallback to sequential execution for '{list_name}': {reason}"
+        )
+
+
+def _pipeline_apply_stack(parent, body_cls, ctx, list_name, carry, broadcast_args, checkpoint, n_scan,
+                          broadcast_kinds=None):
     """Apply a scanned block stack through the GPipe primitive
     (`parallel.pipeline_blocks`): stacked params read from `parent`'s bound
     scope (same checkpoint layout the nn.scan path creates), each stage
     applying its layer slab functionally with the same remat policy the scan
     path would use. Returns (True, carry_out), or (False, None) to fall back
     to the sequential scan when the shape constraints don't hold."""
-    import warnings
-
     from ..parallel.pipeline import pipeline_blocks
     from ..utils.activation_checkpoint import get_checkpoint_policy
 
     def _warn(reason):
-        key = (list_name, reason)
-        if key not in _PP_FALLBACK_WARNED:
-            _PP_FALLBACK_WARNED.add(key)
-            warnings.warn(
-                f"pipeline-parallel fallback to sequential scan for '{list_name}': {reason}"
-            )
+        _pp_fallback_warn(list_name, reason)
 
     n_stages = ctx.mesh.shape.get(ctx.axis, 1)
     if n_stages <= 1:
@@ -476,12 +501,33 @@ def _pipeline_apply_stack(parent, body_cls, ctx, list_name, carry, broadcast_arg
 
     # Split broadcast args into per-sample conditioning (microbatched alongside
     # the carry) and static tensors (rope tables etc., replicated to every
-    # stage): an arg is batched iff every leaf's dim 0 equals the carry batch.
+    # stage). The split is EXPLICIT (caller-tagged): per-sample vs static is
+    # not inferable from shapes — a static (S, D) table whose S happens to
+    # equal the batch would be silently sliced along the wrong axis.
+    if broadcast_kinds is None:
+        raise ValueError(
+            f"block_stack('{list_name}'): pipeline parallelism is active but "
+            f"broadcast_kinds was not provided. Tag every broadcast arg as "
+            f"'batched' (per-sample, leading batch dim) or 'static' (replicated)."
+        )
+    if len(broadcast_kinds) != len(broadcast_args):
+        raise ValueError(
+            f"block_stack('{list_name}'): broadcast_kinds has {len(broadcast_kinds)} "
+            f"entries for {len(broadcast_args)} broadcast args."
+        )
     templates = []
     mb_leaves = []
-    for a in broadcast_args:
+    for a, kind in zip(broadcast_args, broadcast_kinds):
+        if kind not in ("batched", "static"):
+            raise ValueError(f"broadcast_kinds entries must be 'batched' or 'static', got {kind!r}")
         leaves, treedef = jax.tree_util.tree_flatten(a)
-        if leaves and all(getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == batch for leaf in leaves):
+        if kind == "batched" and leaves:
+            bad = [leaf.shape for leaf in leaves if getattr(leaf, "ndim", 0) < 1 or leaf.shape[0] != batch]
+            if bad:
+                raise ValueError(
+                    f"block_stack('{list_name}'): arg tagged 'batched' has leaves with "
+                    f"leading dim != batch {batch}: {bad}"
+                )
             templates.append(("batched", treedef, len(leaves)))
             mb_leaves.extend(leaves)
         else:
@@ -512,6 +558,9 @@ def _pipeline_apply_stack(parent, body_cls, ctx, list_name, carry, broadcast_arg
         batched_args=tuple(mb_leaves),
         batch_shard_axes=dp_axes,
     )
+    from ..parallel.pipeline import note_stack_routed
+
+    note_stack_routed(list_name)
     return True, out
 
 

@@ -298,6 +298,7 @@ class LTXVideoTransformer3DModel(nn.Module):
             self.num_layers,
             x,
             broadcast_args=(context, temb, freqs, kv_lens),
+            broadcast_kinds=("batched", "batched", "static", "batched"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="transformer_blocks",

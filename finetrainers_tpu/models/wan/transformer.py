@@ -217,6 +217,7 @@ class WanTransformer3DModel(nn.Module):
             self.num_layers,
             x,
             broadcast_args=(context, temb_proj, freqs, kv_lens, image_context),
+            broadcast_kinds=("batched", "batched", "static", "batched", "batched"),
             use_scan=self.use_scan,
             checkpoint=self.gradient_checkpointing,
             list_name="blocks",

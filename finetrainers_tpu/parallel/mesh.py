@@ -250,10 +250,14 @@ class MeshEnv:
 
     def destroy(self) -> None:
         # Clear the trace-time pipeline routing so a later trainer (or test)
-        # in the same process doesn't inherit this mesh's GPipe context.
-        from .pipeline import set_pipeline_context
+        # in the same process doesn't inherit this mesh's GPipe context — but
+        # only when the live context belongs to THIS env's mesh (destroying a
+        # secondary non-pp env must not wipe another trainer's pp routing).
+        from .pipeline import get_pipeline_context, set_pipeline_context
 
-        set_pipeline_context(None)
+        ctx = get_pipeline_context()
+        if ctx is not None and ctx.mesh is self.mesh:
+            set_pipeline_context(None)
 
     @property
     def local_batch_size_divisor(self) -> int:

@@ -84,10 +84,30 @@ class PipelineContext:
 
 _PIPELINE_CTX: "PipelineContext | None" = None
 
+# Trace-time record of block stacks that actually routed through the GPipe
+# primitive (by list_name). The trainer checks this after tracing the first
+# step: pp_degree > 1 with zero routed stacks means every pp rank would run
+# the full model redundantly (e.g. all stacks took the non-scan path).
+_ROUTED_STACKS: set = set()
+
+
+def note_stack_routed(name: str) -> None:
+    _ROUTED_STACKS.add(name)
+
+
+def routed_stacks() -> frozenset:
+    return frozenset(_ROUTED_STACKS)
+
+
+def reset_routed_stacks() -> None:
+    _ROUTED_STACKS.clear()
+
 
 def set_pipeline_context(ctx: "PipelineContext | None") -> None:
     global _PIPELINE_CTX
     _PIPELINE_CTX = ctx
+    if ctx is not None:
+        reset_routed_stacks()
 
 
 def get_pipeline_context() -> "PipelineContext | None":
@@ -167,13 +187,33 @@ def pipeline_blocks(
         raise ValueError(f"batch {batch} not divisible by n_microbatches={n_microbatches}")
     mb = batch // n_microbatches
 
+    dp = tuple(batch_shard_axes)
+    dp_size = 1
+    for ax in dp:
+        dp_size *= mesh.shape[ax]
+    # dp-major microbatch layout: the data pipeline delivers contiguous
+    # per-dp-rank batch blocks (rank r holds samples [r*B/dp, (r+1)*B/dp)).
+    # A plain (B,) -> (M, mb) reshape would assign sample m*mb+i to dp rank
+    # floor(i/(mb/dp)) — a DIFFERENT layout, forcing GSPMD to all-to-all every
+    # carry/conditioning tensor at pipeline entry and exit. Instead split each
+    # rank's contiguous block into M microbatch slices so the (M, mb) mb-dim
+    # sharding coincides with the incoming layout (reshapes stay rank-local).
+    dp_major = dp_size > 1 and mb % dp_size == 0
+
     def _to_mb(a: jax.Array) -> jax.Array:
+        if dp_major:
+            x = a.reshape(dp_size, n_microbatches, mb // dp_size, *a.shape[1:])
+            return jnp.moveaxis(x, 0, 1).reshape(n_microbatches, mb, *a.shape[1:])
         return a.reshape(n_microbatches, mb, *a.shape[1:])
+
+    def _from_mb(o: jax.Array) -> jax.Array:
+        if dp_major:
+            x = o.reshape(n_microbatches, dp_size, mb // dp_size, *o.shape[2:])
+            return jnp.moveaxis(x, 1, 0).reshape(batch, *o.shape[2:])
+        return o.reshape(batch, *o.shape[2:])
 
     xs_leaves = [_to_mb(leaf) for leaf in carry_leaves]
     cond_mb = tuple(_to_mb(a) for a in batched_args)
-
-    dp = tuple(batch_shard_axes)
     # (M, mb, ...) arrays: microbatch dim replicated over pp, mb dim sharded
     # over the dp axes (if any). Stacked params: layer axis over pp only.
     act_spec = P(None, dp if dp else None)
@@ -181,7 +221,7 @@ def pipeline_blocks(
 
     def stage_program(local_params: Any, xs_flat, cond) -> Any:
         stage = jax.lax.axis_index(axis)
-        n_ticks = n_microbatches + n_stages - 1
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         def run_local(h_leaves, m):
             h = jax.tree_util.tree_unflatten(carry_def, h_leaves)
@@ -195,8 +235,34 @@ def pipeline_blocks(
             out, _ = jax.lax.scan(body, h, local_params)
             return jax.tree_util.tree_leaves(out)
 
+        def capture_ring(outbuf, ring, t):
+            # Finished microbatch outputs travel the same ring as activations,
+            # one hop per tick; stage s (s != P-1) receives microbatch
+            # m = t - P - s at the START of tick t and stores it. Values are
+            # grad-dead (stop_gradient): the only differentiable path to the
+            # output is the last stage's direct capture, so the backward is
+            # exactly the reverse GPipe schedule with no factor-P double count
+            # and no reverse ring traffic.
+            m_cap = t - n_stages - stage
+            cap = (stage != n_stages - 1) & (m_cap >= 0) & (m_cap < n_microbatches)
+            m_cap_c = jnp.clip(m_cap, 0, n_microbatches - 1)
+            return [
+                jax.lax.dynamic_update_index_in_dim(
+                    buf,
+                    jnp.where(
+                        cap,
+                        jax.lax.stop_gradient(rl),
+                        jax.lax.dynamic_index_in_dim(buf, m_cap_c, 0, keepdims=False),
+                    ),
+                    m_cap_c,
+                    0,
+                )
+                for buf, rl in zip(outbuf, ring)
+            ]
+
         def tick(state, t):
-            acts, outbuf = state
+            acts, ring, outbuf = state
+            outbuf = capture_ring(outbuf, ring, t)
             m = t - stage
             m_clip = jnp.clip(m, 0, n_microbatches - 1)
             # Stage 0 sources microbatch t from the input; later stages use
@@ -213,6 +279,7 @@ def pipeline_blocks(
             ]
             y = run_local(injected, m_clip)
             emit = (stage == n_stages - 1) & (m >= 0) & (m < n_microbatches)
+            # Direct (differentiable) capture at the last stage.
             outbuf = [
                 jax.lax.dynamic_update_index_in_dim(
                     buf,
@@ -226,21 +293,54 @@ def pipeline_blocks(
                 )
                 for buf, yl in zip(outbuf, y)
             ]
-            y_next = [
-                jax.lax.ppermute(yl, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)])
-                for yl in y
+            # Last stage injects its finished output into the ring; others
+            # forward what they received. Grad-dead by construction (above).
+            ring = [
+                jax.lax.stop_gradient(jnp.where(emit, yl, rl))
+                for yl, rl in zip(y, ring)
             ]
-            return (y_next, outbuf), None
+            y_next = [jax.lax.ppermute(yl, axis, perm) for yl in y]
+            ring_next = [jax.lax.ppermute(rl, axis, perm) for rl in ring]
+            return (y_next, ring_next, outbuf), None
+
+        def drain_tick(state, t):
+            # Communication-only ticks: the last P-1 in-flight outputs finish
+            # their trip around the ring. No block compute runs here.
+            ring, outbuf = state
+            outbuf = capture_ring(outbuf, ring, t)
+            ring_next = [jax.lax.ppermute(rl, axis, perm) for rl in ring]
+            return (ring_next, outbuf), None
 
         acts0 = [jnp.zeros(x.shape[1:], x.dtype) for x in xs_flat]
+        ring0 = [jnp.zeros(x.shape[1:], x.dtype) for x in xs_flat]
         out0 = [jnp.zeros_like(x) for x in xs_flat]
-        (_, outbuf), _ = jax.lax.scan(tick, (acts0, out0), jnp.arange(n_ticks))
-        # Only the last stage holds real outputs; replicate over the pipeline
-        # axis (one (M, mb, ...) all-reduce at the very end, not per tick).
-        return [
-            jax.lax.psum(jnp.where(stage == n_stages - 1, buf, jnp.zeros_like(buf)), axis)
-            for buf in outbuf
-        ]
+        n_compute_ticks = n_microbatches + n_stages - 1
+        (_, ring, outbuf), _ = jax.lax.scan(
+            tick, (acts0, ring0, out0), jnp.arange(n_compute_ticks)
+        )
+        if n_stages > 1:
+            (_, outbuf), _ = jax.lax.scan(
+                drain_tick,
+                (ring, outbuf),
+                jnp.arange(n_compute_ticks, n_compute_ticks + n_stages - 1),
+            )
+        # Every stage now holds the full (M, mb, ...) output: the last stage
+        # captured its own emissions, the others captured them off the ring —
+        # replicated over the pipeline axis with no epilogue all-reduce.
+        #
+        # Cotangent scale: out_specs leave the pp axis unmentioned (replicated),
+        # and shard_map's transpose spreads the logical cotangent as ct/P per
+        # pp rank. The only differentiable capture path is the last stage's
+        # (ring captures are stop_gradient), so scale the backward by P to
+        # restore the logical cotangent — forward values untouched (identity:
+        # x = P·x − stop_grad(P·x − x); d/dx = P). Gradient parity vs the
+        # sequential scan is pinned by tests/parallel/test_pipeline.py.
+        if n_stages > 1:
+            outbuf = [
+                buf * n_stages - jax.lax.stop_gradient(buf * n_stages - buf)
+                for buf in outbuf
+            ]
+        return outbuf
 
     fn = shard_map(
         stage_program,
@@ -250,9 +350,7 @@ def pipeline_blocks(
         **_SHARD_MAP_KW,
     )
     out_leaves = fn(stacked_params, xs_leaves, cond_mb)
-    out_leaves = [
-        o.reshape(batch, *leaf.shape[1:]) for o, leaf in zip(out_leaves, carry_leaves)
-    ]
+    out_leaves = [_from_mb(o) for o in out_leaves]
     return jax.tree_util.tree_unflatten(carry_def, out_leaves)
 
 

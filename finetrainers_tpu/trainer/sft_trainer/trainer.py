@@ -440,6 +440,7 @@ class SFTTrainer(Trainer):
         # snapshot taken BEFORE it was pulled keeps resume exact (the batch is
         # re-delivered instead of silently dropped).
         self._pending_loader_state = None
+        first_session_step = train_state.step
         while train_state.step < args.train_steps and train_state.observed_data_samples < args.max_data_samples:
             with self.tracker.timed("timing/batch_prep"):
                 if pending:
@@ -502,6 +503,22 @@ class SFTTrainer(Trainer):
                         self._trainable, self._frozen, self._opt_state, cond_batch, lat_batch, step_rng
                     )
                     losses_k, maxes_k, gns_k = [loss], [max_loss], [grad_norm]
+
+            if train_state.step == first_session_step and self.mesh_env.pipeline_parallel_enabled:
+                # pp_degree > 1 must actually pipeline: if every block stack
+                # fell back to sequential execution (e.g. non-scan path), each
+                # pp rank runs the full model redundantly — fail loudly rather
+                # than train pp-fold slower in silence.
+                from ...parallel.pipeline import routed_stacks
+
+                if not routed_stacks():
+                    raise RuntimeError(
+                        "--pp_degree > 1 but no block stack routed through the pipeline "
+                        "primitive during the first traced step (see the emitted "
+                        "pipeline-parallel fallback warnings for why). Fix the model's "
+                        "use_scan/depth/microbatch constraints or train without pp."
+                    )
+                logger.info(f"Pipeline-parallel stacks active: {sorted(routed_stacks())}")
 
             base_step = train_state.step
             train_state.step += len(group)

@@ -259,6 +259,7 @@ class TestBlockStackPipeline:
                 return block_stack(
                     Blk, dict(dim=32), self.n_layers, x,
                     broadcast_args=(ctx, freqs), use_scan=True,
+                    broadcast_kinds=("batched", "static"),
                     checkpoint="ops", parent=self,
                 )
 
@@ -368,6 +369,7 @@ class TestBlockStackPipeline:
                 return block_stack(
                     DualBlk, dict(dim=16), self.n_layers, (img, txt),
                     broadcast_args=(temb,), use_scan=True, parent=self,
+                    broadcast_kinds=("batched",),
                 )
 
         B = 4

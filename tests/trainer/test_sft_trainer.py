@@ -128,8 +128,12 @@ class TestSFTTrainer:
         for pp > 1: trainer/sft_trainer/trainer.py:91-94). pp=2 x dp_degree=2 x
         dp_shards=2 over the 8-device mesh; the dummy stack is deepened to 4
         scanned layers so it splits into two pipeline stages."""
-        monkeypatch.setenv("FINETRAINERS_DUMMY_LAYERS", "4")
-        monkeypatch.setenv("FINETRAINERS_DUMMY_USE_SCAN", "1")
+        from finetrainers_tpu.models.dummy.base_specification import DummyModelSpecification
+
+        monkeypatch.setattr(
+            DummyModelSpecification, "transformer_config_overrides",
+            {"num_layers": 4, "use_scan": True},
+        )
         _run_training(
             tmp_path, tiny_dataset,
             ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
