@@ -481,8 +481,8 @@ def _validate_args(args: BaseArgs) -> None:
     if args.pp_degree > 1:
         # Beyond-reference: the reference raises here (trainer/sft_trainer/
         # trainer.py:91-94); this build trains pp>1 via the GPipe primitive.
-        if args.cp_degree > 1 or args.tp_degree > 1:
-            raise NotImplementedError("pp_degree > 1 composes with dp axes only (not cp/tp).")
+        # pp composes with dp/tp/cp: the pipeline shard_map is manual over the
+        # pp+dp axes only, leaving cp/tp to GSPMD (parallel/pipeline.py).
         if args.pp_microbatches and args.batch_size % args.pp_microbatches != 0:
             raise ValueError(
                 f"batch_size={args.batch_size} must be divisible by pp_microbatches={args.pp_microbatches}"

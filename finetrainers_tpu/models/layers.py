@@ -478,8 +478,12 @@ def _pipeline_apply_stack(parent, body_cls, ctx, list_name, carry, broadcast_arg
     if n_stages <= 1:
         return False, None
     if n_scan % n_stages != 0:
-        _warn(f"{n_scan} scanned layers not divisible by {n_stages} stages")
-        return False, None
+        # Supported via edge-padded stage slabs; flag the idle compute once.
+        pad = (-(-n_scan // n_stages)) * n_stages - n_scan
+        _warn(
+            f"{n_scan} scanned layers split unevenly over {n_stages} stages: "
+            f"{pad} padded no-op layer slot(s) run on the last stage each step"
+        )
 
     batch = jax.tree_util.tree_leaves(carry)[0].shape[0]
     dp_axes = tuple(ax for ax in ctx.batch_shard_axes if ctx.mesh.shape.get(ax, 1) > 1)

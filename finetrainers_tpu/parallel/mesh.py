@@ -68,12 +68,10 @@ class ParallelDims:
     pp: int = 1
 
     def __post_init__(self):
-        if self.pp > 1 and (self.cp > 1 or self.tp > 1):
-            raise NotImplementedError(
-                "pp composes with the data-parallel axes (dp_replicate/dp_shard);"
-                " pp x cp and pp x tp are not wired (the GPipe stage program is a"
-                " shard_map body where GSPMD cp/tp propagation does not apply)."
-            )
+        # pp composes with dp/cp/tp: the GPipe stage program is manual over
+        # the (pp, dp) axes only — cp/tp stay GSPMD-auto inside the shard_map
+        # body (parallel/pipeline.py), validated by __graft_entry__'s
+        # pp2 x tp2 / pp2 x cp2 dry-run meshes.
         for name in ("pp", "dp_replicate", "dp_shard", "cp", "tp"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")

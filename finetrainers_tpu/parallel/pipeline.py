@@ -146,9 +146,12 @@ def pipeline_blocks(
         received as a tuple). Closures may capture anything static.
       stacked_params: pytree whose every leaf has a leading layer axis ``L``
         (the layout produced by ``models/layers.block_stack`` /
-        ``flax`` vmapped inits). Requires ``L % P == 0``; each stage holds the
-        contiguous slab of ``L // P`` layers — the leading axis is simply
-        sharded over ``axis``, so no reshuffling of checkpoints is needed.
+        ``flax`` vmapped inits). Each stage holds a contiguous slab of
+        ``ceil(L / P)`` layers — the leading axis is simply sharded over
+        ``axis``, so no reshuffling of checkpoints is needed. When
+        ``L % P != 0`` the stack is padded with edge-replicated (masked-out)
+        layers: the last stage executes ``P*ceil(L/P) - L`` no-op layer slots,
+        so indivisible depths work at the cost of that idle compute.
       carry: array or pytree of arrays, every leaf batched ``(B, ...)`` with
         the same ``B``; requires ``B % n_microbatches == 0``.
       mesh: mesh containing ``axis``. Other mesh axes are untouched (the
@@ -172,8 +175,18 @@ def pipeline_blocks(
     """
     n_stages = mesh.shape[axis]
     n_layers = _leading_dim(stacked_params)
-    if n_layers % n_stages != 0:
-        raise ValueError(f"L={n_layers} layers not divisible by {n_stages} pipeline stages")
+    ceil_layers = -(-n_layers // n_stages)
+    padded_layers = ceil_layers * n_stages
+    layer_valid = jnp.arange(padded_layers) < n_layers
+    if padded_layers != n_layers:
+        # Edge-replicate (NOT zero-fill) the pad layers: their outputs are
+        # masked out, but real param values keep the padded compute free of
+        # 0/0-style NaNs that could leak through vjps.
+        pad = padded_layers - n_layers
+        stacked_params = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+            stacked_params,
+        )
 
     carry_leaves, carry_def = jax.tree_util.tree_flatten(carry)
     if not carry_leaves:
@@ -219,7 +232,7 @@ def pipeline_blocks(
     act_spec = P(None, dp if dp else None)
     par_spec = P(axis)
 
-    def stage_program(local_params: Any, xs_flat, cond) -> Any:
+    def stage_program(local_params: Any, local_valid, xs_flat, cond) -> Any:
         stage = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
@@ -229,10 +242,16 @@ def pipeline_blocks(
                 jax.lax.dynamic_index_in_dim(c, m, 0, keepdims=False) for c in cond
             )
 
-            def body(c, layer_params):
-                return block_fn(layer_params, c, *cond_slices, *static_args), None
+            def body(c, lv):
+                layer_params, v = lv
+                y = block_fn(layer_params, c, *cond_slices, *static_args)
+                # Pad layers (uneven L/P split) pass the carry through
+                # unchanged; their zero output-cotangent makes the pad param
+                # grads exactly zero, which the pad transpose discards.
+                out = jax.tree_util.tree_map(lambda a, b: jnp.where(v, a, b), y, c)
+                return out, None
 
-            out, _ = jax.lax.scan(body, h, local_params)
+            out, _ = jax.lax.scan(body, h, (local_params, local_valid))
             return jax.tree_util.tree_leaves(out)
 
         def capture_ring(outbuf, ring, t):
@@ -342,14 +361,25 @@ def pipeline_blocks(
             ]
         return outbuf
 
+    # Manual collectives only over the pipeline + data axes; every other mesh
+    # axis (cp, tp, ...) stays auto so GSPMD keeps propagating those shardings
+    # INSIDE the stage program — pp composes with tensor/context parallelism
+    # without this primitive knowing their sharding rules.
+    manual_axes = frozenset({axis}) | frozenset(dp)
+    auto_axes = frozenset(mesh.axis_names) - manual_axes
+    if "check_vma" in _SHARD_MAP_KW:
+        axes_kw = {"axis_names": manual_axes}
+    else:  # pragma: no cover - legacy jax.experimental.shard_map
+        axes_kw = {"auto": auto_axes}
     fn = shard_map(
         stage_program,
         mesh=mesh,
-        in_specs=(par_spec, [act_spec] * len(xs_leaves), tuple(act_spec for _ in cond_mb)),
+        in_specs=(par_spec, P(axis), [act_spec] * len(xs_leaves), tuple(act_spec for _ in cond_mb)),
         out_specs=[act_spec] * len(xs_leaves),
         **_SHARD_MAP_KW,
+        **axes_kw,
     )
-    out_leaves = fn(stacked_params, xs_leaves, cond_mb)
+    out_leaves = fn(stacked_params, layer_valid, xs_leaves, cond_mb)
     out_leaves = [_from_mb(o) for o in out_leaves]
     return jax.tree_util.tree_unflatten(carry_def, out_leaves)
 

@@ -112,13 +112,40 @@ class TestPipelineEquivalence:
         )
 
     def test_validation_errors(self):
-        params = _stacked_params(jax.random.PRNGKey(7), 3)
         x = jnp.zeros((4, D))
-        with pytest.raises(ValueError, match="not divisible by 2 pipeline stages"):
-            pipeline_blocks(_block, params, x, mesh=_mesh(2), n_microbatches=2)
         params4 = _stacked_params(jax.random.PRNGKey(8), 4)
         with pytest.raises(ValueError, match="not divisible by n_microbatches"):
             pipeline_blocks(_block, params4, x, mesh=_mesh(2), n_microbatches=3)
+
+    @pytest.mark.parametrize("n_layers,n_stages", [(3, 2), (5, 4), (7, 2)])
+    def test_uneven_layer_split(self, n_layers, n_stages):
+        """L % P != 0: the stack is padded with masked edge-replicated layers
+        on the last stage; forward AND gradients must still match the
+        sequential scan exactly."""
+        if len(jax.devices()) < n_stages:
+            pytest.skip("not enough devices")
+        params = _stacked_params(jax.random.PRNGKey(7), n_layers)
+        x = jax.random.normal(jax.random.PRNGKey(9), (8, D))
+        mesh = _mesh(n_stages)
+
+        def loss_pp(p, z):
+            return jnp.sum(pipeline_blocks(_block, p, z, mesh=mesh, n_microbatches=4) ** 2)
+
+        def loss_seq(p, z):
+            return jnp.sum(_sequential(p, z) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(loss_pp)(params, x)),
+            np.asarray(jax.jit(loss_seq)(params, x)),
+            rtol=1e-5,
+        )
+        g_got, gx_got = jax.jit(jax.grad(loss_pp, argnums=(0, 1)))(params, x)
+        g_want, gx_want = jax.jit(jax.grad(loss_seq, argnums=(0, 1)))(params, x)
+        for name in g_want:
+            np.testing.assert_allclose(
+                np.asarray(g_got[name]), np.asarray(g_want[name]), rtol=5e-5, atol=5e-6
+            )
+        np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_want), rtol=5e-5, atol=5e-6)
 
     def test_bubble_fraction(self):
         assert bubble_fraction(4, 4) == pytest.approx(3 / 7)

@@ -27,13 +27,16 @@ class TestBaseArgs:
         args = BaseArgs().parse_args(MINIMAL + ["--dp_degree", "2", "--dp_shards", "4", "--cp_degree", "1"])
         assert args.dp_degree == 2 and args.dp_shards == 4
 
-    def test_pp_accepted_dp_only(self):
-        # pp>1 is accepted (trained GPipe path, beyond the reference) but only
-        # composed with the data-parallel axes.
+    def test_pp_composition(self):
+        # pp>1 is accepted (trained GPipe path, beyond the reference) and
+        # composes with dp/cp/tp (the pipeline shard_map is manual over pp+dp
+        # only; cp/tp stay GSPMD-auto — parallel/pipeline.py).
         args = BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2"])
         assert args.pp_degree == 2
-        with pytest.raises(NotImplementedError):
-            BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2", "--cp_degree", "2"])
+        args = BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2", "--cp_degree", "2"])
+        assert args.pp_degree == 2 and args.cp_degree == 2
+        args = BaseArgs().parse_args(MINIMAL + ["--pp_degree", "2", "--tp_degree", "2"])
+        assert args.pp_degree == 2 and args.tp_degree == 2
         with pytest.raises(ValueError):
             BaseArgs().parse_args(
                 MINIMAL + ["--pp_degree", "2", "--batch_size", "4", "--pp_microbatches", "3"]
