@@ -117,6 +117,7 @@ def _fwd_kernel(
     has_rope: bool,
     has_kv_lens: bool,
     cache_rope: bool,
+    fuse_rowsum: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -137,7 +138,11 @@ def _fwd_kernel(
     if cache_rope:
         # rope caches declared last in scratch_shapes
         *rest, qrot_scr, krot_scr = rest
-    o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    if fuse_rowsum:
+        o_ref, lse_ref, m_scr, acc_scr = rest
+        l_scr = None
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
@@ -146,7 +151,8 @@ def _fwd_kernel(
     @pl.when(kj == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        if l_scr is not None:
+            l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     qscale = scale * _LOG2E  # folded into the q tile; see _LOG2E note
@@ -217,13 +223,32 @@ def _fwd_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
+        v = v_ref[0, 0]  # (bkv, H) — or (bkv, 128) ones-augmented (fuse_rowsum)
+        if fuse_rowsum:
+            # Every full-tile VPU pass here is an issue-slot pass the MXU
+            # cannot hide (the kernels are vector-issue-bound at short S):
+            #   - exp2 lands DIRECTLY in the matmul dtype (one fused traversal;
+            #     no separate f32 p materialization + cast pass),
+            #   - the softmax denominator comes out of the PV matmul itself:
+            #     v carries a ones column at lane H, so acc[:, H] accumulates
+            #     rowsum(p) under the same alpha rescales as the output — the
+            #     separate sum(p) pass and the l scratch update disappear.
+            p = jnp.exp2(s - m_new).astype(v.dtype)  # (bq, bkv)
+            if mask is not None:
+                # Fully-invalid rows keep p=exp2(_NEG_INF-_NEG_INF)=1: re-mask.
+                p = jnp.where(mask, p, jnp.zeros_like(p))
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (bq, 128) f32: [:H] = P@V, [H] = rowsum(P)
+            acc_scr[:] = acc_scr[:] * alpha + pv
+            m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+            return
         p = jnp.exp2(s - m_new)  # (bq, bkv)
         if mask is not None:
             # Rows that are entirely invalid keep p≈exp(_NEG_INF-_NEG_INF)=1: re-mask.
             p = jnp.where(mask, p, 0.0)
 
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0]  # (bkv, H)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, H) f32
@@ -249,9 +274,15 @@ def _fwd_kernel(
 
     @pl.when(kj == num_kv - 1)
     def _emit():
-        l = l_scr[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        if fuse_rowsum:
+            head_dim = o_ref.shape[-1]
+            l = acc_scr[:, head_dim:head_dim + 1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = (acc_scr[:, :head_dim] / l_safe).astype(o_ref.dtype)
+        else:
+            l = l_scr[:, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
         # m is a base-2 logit max; emit natural-log LSE (external contract).
         # LSE is stored S-last as (B, N, 8, q_pad): a (…, q_pad, 8) layout
         # tiles T(8,128) with the 8-wide minor dim padded to 128 lanes — a 16x
@@ -330,6 +361,21 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         has_rope and not has_mask and not causal and not has_segments
         and kv_pad * head_dim * q.dtype.itemsize <= 1 << 20
     )
+    # Rowsum-via-MXU: when head_dim leaves a free lane (< 128), augment V with
+    # a ones column at lane H so the PV matmul also produces the softmax
+    # denominator (the MXU pass spans 128 output lanes either way). The kernel
+    # then skips the per-tile sum(p) VPU pass and the l scratch bookkeeping —
+    # it is vector-issue-bound, so a removed full-tile pass is wall time.
+    # Dense-mask and causal paths can skip whole grid cells, which is fine:
+    # acc (incl. the l column) simply keeps its value. Extra HBM for the wide
+    # V: kv_pad*(128-H) * itemsize per (b, n) — ~2x v at H=64, repaid ~20x by
+    # the removed passes at flagship shapes.
+    fuse_rowsum = head_dim + 1 <= 128
+    v_width = 128 if fuse_rowsum else head_dim
+    if fuse_rowsum:
+        ones_col = jnp.zeros((batch, num_heads, kv_pad, 128 - head_dim), v.dtype)
+        ones_col = ones_col.at[..., 0].set(1.0)
+        v = jnp.concatenate([v, ones_col], axis=-1)
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale,
@@ -339,6 +385,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         has_rope=has_rope,
         has_kv_lens=has_kv_lens,
         cache_rope=cache_rope,
+        fuse_rowsum=fuse_rowsum,
         block_q=block_q,
         block_kv=block_kv,
         q_seq_len=q_len,
@@ -347,7 +394,7 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
     in_specs = [
         pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
         pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
-        pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, v_width), lambda b, n, i, j, *_: (b, n, j, 0)),
     ]
     operands = [q, k, v]
     if has_segments:
@@ -384,11 +431,14 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
                 pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
                 pl.BlockSpec((1, 1, 8, block_q), lambda b, n, i, j, *_: (b, n, 0, i)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, head_dim), jnp.float32),
-            ] + ([
+            scratch_shapes=([
+                pltpu.VMEM((block_q, 128), jnp.float32),  # m
+                pltpu.VMEM((block_q, 128), jnp.float32),  # acc (l in lane H)
+            ] if fuse_rowsum else [
+                pltpu.VMEM((block_q, 128), jnp.float32),  # m
+                pltpu.VMEM((block_q, 128), jnp.float32),  # l
+                pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
+            ]) + ([
                 pltpu.VMEM((block_q, head_dim), q.dtype),
                 pltpu.VMEM((kv_pad, head_dim), k.dtype),
             ] if cache_rope else []),
@@ -504,23 +554,29 @@ def _bwd_dkdv_kernel(
             mask = sm if mask is None else jnp.logical_and(mask, sm)
         if mask_ref is not None:
             s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
-        p = jnp.exp2(s - lse)  # (bq, bkv); padded q rows have lse=+inf -> p=0
+        # p lands DIRECTLY in the matmul dtype: the dv matmul consumed a bf16
+        # cast anyway, and the kernels are vector-issue-bound — the separate
+        # f32 materialization + cast were whole-tile passes of wall time.
+        p = jnp.exp2(s - lse).astype(do.dtype)  # (bq, bkv); padded q rows: lse=+inf -> p=0
         if mask is not None:
-            p = jnp.where(mask, p, 0.0)
+            p = jnp.where(mask, p, jnp.zeros_like(p))
 
         # dv += P^T @ dO
         dv_scr[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         # dp = dO @ V^T ; ds = P * (dp - delta)  (scale folded into q; the
-        # accumulated dk therefore carries a log2(e)*... factor undone at emit)
+        # accumulated dk therefore carries a log2(e)*... factor undone at emit).
+        # ds is assembled in the matmul dtype: (dp - delta) narrows once, the
+        # product needs no final cast — two fewer full-tile f32 passes. The dk
+        # matmul consumed bf16 ds before too; only the rounding point moved.
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bkv) f32
-        ds = p * (dp - delta)
+        ds = p * (dp - delta).astype(p.dtype)
         # dk += dS^T @ (scale*log2e * Q)
         dk_scr[:] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     block_needed = None
@@ -644,15 +700,16 @@ def _bwd_dq_kernel(
             mask = sm if mask is None else jnp.logical_and(mask, sm)
         if mask_ref is not None:
             s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
-        p = jnp.exp2(s - lse)  # padded q rows have lse=+inf -> p=0
+        # p/ds in the matmul dtype — same pass-elimination as the dkdv kernel.
+        p = jnp.exp2(s - lse).astype(k.dtype)  # padded q rows have lse=+inf -> p=0
         if mask is not None:
-            p = jnp.where(mask, p, 0.0)
+            p = jnp.where(mask, p, jnp.zeros_like(p))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)  # *scale deferred to emit (folded into q)
+        ds = p * (dp - delta).astype(p.dtype)  # *scale deferred to emit (folded into q)
         dq_scr[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     block_needed = None

@@ -14,15 +14,14 @@ class TestParallelDims:
         dims = ParallelDims(dp_replicate=2, dp_shard=2, cp=2, tp=1)
         assert dims.world_size == 8
 
-    def test_pp_allowed_with_dp_only(self):
-        # pp is a trained path (beyond the reference, which raises for pp>1);
-        # it composes with the dp axes only.
+    def test_pp_composes_with_all_axes(self):
+        # pp is a trained path (beyond the reference, which raises for pp>1)
+        # and composes with dp/cp/tp (the pipeline shard_map is manual over
+        # pp+dp only; cp/tp stay GSPMD-auto inside the stage program).
         dims = ParallelDims(pp=2, dp_replicate=2, dp_shard=2)
         assert dims.world_size == 8
-        with pytest.raises(NotImplementedError):
-            ParallelDims(pp=2, cp=2)
-        with pytest.raises(NotImplementedError):
-            ParallelDims(pp=2, tp=2)
+        assert ParallelDims(pp=2, cp=2).world_size == 4
+        assert ParallelDims(pp=2, tp=2).world_size == 4
 
     def test_invalid_degree(self):
         with pytest.raises(ValueError):
