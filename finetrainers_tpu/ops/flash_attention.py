@@ -233,7 +233,7 @@ def _fwd_kernel(
             #     v carries a ones column at lane H, so acc[:, H] accumulates
             #     rowsum(p) under the same alpha rescales as the output — the
             #     separate sum(p) pass and the l scratch update disappear.
-            p = jnp.exp2(s - m_new).astype(v.dtype)  # (bq, bkv)
+            p = jnp.exp2((s - m_new).astype(v.dtype))  # (bq, bkv)
             if mask is not None:
                 # Fully-invalid rows keep p=exp2(_NEG_INF-_NEG_INF)=1: re-mask.
                 p = jnp.where(mask, p, jnp.zeros_like(p))
