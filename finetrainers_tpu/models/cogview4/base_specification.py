@@ -16,7 +16,7 @@ from jax.sharding import PartitionSpec
 
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
-from ...schedulers import FlowMatchEulerScheduler
+from ...schedulers import FlowMatchEulerScheduler, load_scheduler
 from ..autoencoders import SD_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, CogView4GLMProcessor, HashEncoder
@@ -116,7 +116,9 @@ class CogView4ModelSpecification(ModelSpecification):
         if text_encoder is None:
             text_encoder = self.load_condition_models()["text_encoder"]
         return CogView4Pipeline(spec=self, transformer=transformer, vae=vae,
-                                text_encoder=text_encoder, scheduler=FlowMatchEulerScheduler())
+                                text_encoder=text_encoder,
+                                scheduler=load_scheduler(self.pretrained_model_name_or_path,
+                                                         default=FlowMatchEulerScheduler()))
 
     # ------------------------------------------------------------- data prep
     def prepare_conditions(self, caption: str, text_encoder=None, max_sequence_length: int = 1024,

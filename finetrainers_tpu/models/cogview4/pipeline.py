@@ -73,11 +73,11 @@ class CogView4Pipeline:
 
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
-        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+        def make_step(module=self.transformer.module,
                       dtype=spec.transformer_dtype, do_cfg=do_cfg,
                       has_control=control_latents is not None):
             def denoise_step(params, latents, ehs, sizes_in, crops_in,
-                             control_latents, guidance_scale, sigma, sigma_next):
+                             control_latents, guidance_scale, sigma):
                 model_in = jnp.concatenate([latents] * 2) if do_cfg else latents
                 if has_control:
                     ctrl = jnp.concatenate([control_latents] * 2) if do_cfg else control_latents
@@ -91,17 +91,19 @@ class CogView4Pipeline:
                 if do_cfg:
                     uncond, cond = jnp.split(pred, 2)
                     pred = uncond + guidance_scale * (cond - uncond)
-                return scheduler.step(pred, sigma, sigma_next, latents)
+                return pred
             return denoise_step
 
         denoise_step = instance_jit(
             self, ("denoise", do_cfg, control_latents is not None), make_step
         )
+        sampler = self.scheduler.make_sampler(sigmas)
         for i in range(num_inference_steps):
-            latents = denoise_step(
+            pred = denoise_step(
                 self.transformer.params, latents, ehs, sizes_in, crops_in,
-                control_latents, guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+                control_latents, guidance_scale, float(sigmas[i]),
             )
+            latents = sampler.update(pred, i, latents)
 
         from ..autoencoders import decode_image_vae
 

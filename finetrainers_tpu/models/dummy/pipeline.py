@@ -45,19 +45,19 @@ class DummyPipeline:
 
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
-        def make_step(module=self.transformer.module, scheduler=self.scheduler):
-            def denoise_step(params, latents, ehs, kv_lens, sigma, sigma_next):
+        def make_step(module=self.transformer.module):
+            def denoise_step(params, latents, ehs, kv_lens, sigma):
                 timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
-                pred = module.apply({"params": params}, latents, ehs, timestep, encoder_kv_lens=kv_lens)
-                return scheduler.step(pred, sigma, sigma_next, latents)
+                return module.apply({"params": params}, latents, ehs, timestep, encoder_kv_lens=kv_lens)
             return denoise_step
 
         denoise_step = instance_jit(self, ("denoise", kv_lens is None), make_step)
+        sampler = self.scheduler.make_sampler(sigmas)
         for i in range(num_inference_steps):
-            latents = denoise_step(
-                self.transformer.params, latents, ehs, kv_lens,
-                float(sigmas[i]), float(sigmas[i + 1]),
+            pred = denoise_step(
+                self.transformer.params, latents, ehs, kv_lens, float(sigmas[i]),
             )
+            latents = sampler.update(pred, i, latents)
 
         video = self.vae.apply(latents, method=type(self.vae.module).decode)
         video = np.asarray(jnp.clip((video + 1.0) / 2.0, 0.0, 1.0))

@@ -17,7 +17,7 @@ from jax.sharding import PartitionSpec
 
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
-from ...schedulers import FlowMatchEulerScheduler
+from ...schedulers import FlowMatchEulerScheduler, load_scheduler
 from ..autoencoders import SD_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, CLIPPooledProcessor, HashEncoder, T5Processor
@@ -151,7 +151,8 @@ class FluxModelSpecification(ModelSpecification):
         if text_encoder is None:
             text_encoder = self.load_condition_models()["text_encoder"]
         return FluxPipeline(spec=self, transformer=transformer, vae=vae, text_encoder=text_encoder,
-                            scheduler=FlowMatchEulerScheduler())
+                            scheduler=load_scheduler(self.pretrained_model_name_or_path,
+                                                     default=FlowMatchEulerScheduler()))
 
     # ------------------------------------------------------------- data prep
     def prepare_conditions(self, caption: str, text_encoder=None, text_encoder_2=None,

@@ -52,12 +52,12 @@ class FluxPipeline:
         mu = _flux_shift_mu(seq_len)
         sigmas = self.scheduler.inference_sigmas(num_inference_steps, mu=mu)
 
-        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+        def make_step(module=self.transformer.module,
                       dtype=spec.transformer_dtype,
                       guided=spec.transformer_config["guidance_embeds"],
                       latent_h=latent_h, latent_w=latent_w):
             def denoise_step(params, latents, ehs, pooled, img_ids, txt_ids,
-                             guidance_scale, sigma, sigma_next):
+                             guidance_scale, sigma):
                 packed = pack_flux_latents(latents)
                 timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
                 pred = module.apply(
@@ -66,8 +66,7 @@ class FluxPipeline:
                     guidance=jnp.full((1,), guidance_scale * 1000.0, jnp.float32)
                     if guided else None,
                 )
-                pred = unpack_flux_latents(pred, latent_h, latent_w)
-                return scheduler.step(pred, sigma, sigma_next, latents)
+                return unpack_flux_latents(pred, latent_h, latent_w)
             return denoise_step
 
         denoise_step = instance_jit(
@@ -75,11 +74,13 @@ class FluxPipeline:
             ("denoise", spec.transformer_config["guidance_embeds"], latent_h, latent_w),
             make_step,
         )
+        sampler = self.scheduler.make_sampler(sigmas)
         for i in range(num_inference_steps):
-            latents = denoise_step(
+            pred = denoise_step(
                 self.transformer.params, latents, ehs, pooled, img_ids, txt_ids,
-                guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+                guidance_scale, float(sigmas[i]),
             )
+            latents = sampler.update(pred, i, latents)
 
         latents = latents / 0.3611 + 0.1159
         from ..autoencoders import decode_image_vae

@@ -16,7 +16,7 @@ from jax.sharding import PartitionSpec
 
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
-from ...schedulers import FlowMatchEulerScheduler
+from ...schedulers import FlowMatchEulerScheduler, load_scheduler
 from ..autoencoders import HUNYUAN_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, encode_media, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, CLIPPooledProcessor, HashEncoder, LlamaProcessor
@@ -145,7 +145,8 @@ class HunyuanVideoModelSpecification(ModelSpecification):
             text_encoder = self.load_condition_models()["text_encoder"]
         return HunyuanVideoPipeline(spec=self, transformer=transformer, vae=vae,
                                     text_encoder=text_encoder,
-                                    scheduler=FlowMatchEulerScheduler(shift=7.0))
+                                    scheduler=load_scheduler(self.pretrained_model_name_or_path,
+                                                             default=FlowMatchEulerScheduler(shift=7.0)))
 
     # ------------------------------------------------------------- data prep
     def prepare_conditions(self, caption: str, text_encoder=None, text_encoder_2=None,

@@ -49,10 +49,10 @@ class HunyuanVideoPipeline:
         latents = jax.random.normal(rng, (1, latent_ch, latent_f, latent_h, latent_w), jnp.float32)
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
 
-        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+        def make_step(module=self.transformer.module,
                       dtype=spec.transformer_dtype):
             def denoise_step(params, latents, ehs, mask, pooled,
-                             guidance_scale, sigma, sigma_next):
+                             guidance_scale, sigma):
                 timestep = jnp.full((1,), sigma * 1000.0, jnp.float32)
                 pred = module.apply(
                     {"params": params},
@@ -60,15 +60,17 @@ class HunyuanVideoPipeline:
                     encoder_attention_mask=mask,
                     guidance=jnp.full((1,), guidance_scale * 1000.0, jnp.float32),
                 )
-                return scheduler.step(pred, sigma, sigma_next, latents)
+                return pred
             return denoise_step
 
         denoise_step = instance_jit(self, ("denoise",), make_step)
+        sampler = self.scheduler.make_sampler(sigmas)
         for i in range(num_inference_steps):
-            latents = denoise_step(
+            pred = denoise_step(
                 self.transformer.params, latents, ehs, mask, pooled,
-                guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+                guidance_scale, float(sigmas[i]),
             )
+            latents = sampler.update(pred, i, latents)
 
         latents = latents / self.vae.config.get("scaling_factor", 1.0)
         video = self.vae.apply(latents, method=type(self.vae.module).decode)

@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec
 
 from ...functional.diffusion import flow_match_target, flow_match_xt
 from ...logging import get_logger
-from ...schedulers import FlowMatchEulerScheduler
+from ...schedulers import FlowMatchEulerScheduler, load_scheduler
 from ..autoencoders import LTX_VAE_CONFIG, AutoencoderConfig, AutoencoderKL3D, encode_media, sample_from_moments
 from ..modeling_utils import ModelHandle, ModelSpecification
 from ...processors import CaptionTextDropoutProcessor, HashEncoder, T5Processor
@@ -148,7 +148,8 @@ class LTXVideoModelSpecification(ModelSpecification):
             text_encoder = self.load_condition_models()["text_encoder"]
         return LTXPipeline(
             spec=self, transformer=transformer, vae=vae, text_encoder=text_encoder,
-            scheduler=FlowMatchEulerScheduler(),
+            scheduler=load_scheduler(self.pretrained_model_name_or_path,
+                                     default=FlowMatchEulerScheduler()),
         )
 
     # ------------------------------------------------------------- data prep

@@ -78,13 +78,13 @@ class LTXPipeline:
         cfg = spec.transformer_config
         p, pt = cfg["patch_size"], cfg["patch_size_t"]
 
-        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+        def make_step(module=self.transformer.module,
                       dtype=spec.transformer_dtype, do_cfg=do_cfg,
                       has_cond=cond_latent is not None,
                       p=p, pt=pt, latent_f=latent_f, latent_h=latent_h,
                       latent_w=latent_w, rope_scale=rope_scale):
             def denoise_step(params, latents, ehs, mask, cond_latent,
-                             guidance_scale, sigma, sigma_next):
+                             guidance_scale, sigma):
                 lat_in = latents
                 if has_cond:
                     first = cond_latent * (1.0 - sigma) + lat_in[:, :, :1] * sigma
@@ -103,7 +103,9 @@ class LTXPipeline:
                     uncond, cond = jnp.split(pred, 2)
                     pred = uncond + guidance_scale * (cond - uncond)
                 pred = unpack_latents(pred, latent_f, latent_h, latent_w, p, pt)
-                return scheduler.step(pred, sigma, sigma_next, lat_in)
+                # The sampler steps the *conditioned* latents (first-frame
+                # pasted at sigma-scaled noise), mirroring the training target.
+                return pred, lat_in
             return denoise_step
 
         denoise_step = instance_jit(
@@ -113,11 +115,13 @@ class LTXPipeline:
             make_step,
         )
         cond_latent_in = jnp.asarray(cond_latent) if cond_latent is not None else None
+        sampler = self.scheduler.make_sampler(sigmas)
         for i in range(num_inference_steps):
-            latents = denoise_step(
+            pred, lat_in = denoise_step(
                 self.transformer.params, latents, ehs, mask, cond_latent_in,
-                guidance_scale, float(sigmas[i]), float(sigmas[i + 1]),
+                guidance_scale, float(sigmas[i]),
             )
+            latents = sampler.update(pred, i, lat_in)
 
         mean = jnp.asarray(self.vae.config["latents_mean"]).reshape(1, -1, 1, 1, 1)
         std = jnp.asarray(self.vae.config["latents_std"]).reshape(1, -1, 1, 1, 1)

@@ -153,8 +153,14 @@ class WanModelSpecification(ModelSpecification):
             vae = self.load_latent_models()["vae"]
         if text_encoder is None:
             text_encoder = self.load_condition_models()["text_encoder"]
+        from ...schedulers import load_scheduler
+
+        # Checkpoint-faithful sampling: Wan 2.1 checkpoints ship UniPC in their
+        # scheduler config (reference validation inherits it via the diffusers
+        # pipeline, base_specification.py:338-352); Euler shift=3 is the fallback.
         return WanPipeline(spec=self, transformer=transformer, vae=vae, text_encoder=text_encoder,
-                           scheduler=FlowMatchEulerScheduler(shift=3.0))
+                           scheduler=load_scheduler(self.pretrained_model_name_or_path,
+                                                    default=FlowMatchEulerScheduler(shift=3.0)))
 
     # ------------------------------------------------------------- data prep
     def prepare_conditions(self, caption: str, text_encoder=None, max_sequence_length: int = 512,

@@ -1,4 +1,5 @@
-"""Wan T2V/I2V inference pipeline (flow-match Euler, shift=3)."""
+"""Wan T2V/I2V inference pipeline (checkpoint scheduler; Wan 2.1 ships UniPC,
+falls back to flow-match Euler shift=3)."""
 
 from __future__ import annotations
 
@@ -109,13 +110,13 @@ class WanPipeline:
         sigmas = self.scheduler.inference_sigmas(num_inference_steps)
         img_embeds = jnp.asarray(img_embeds) if img_embeds is not None else None
 
-        def make_step(module=self.transformer.module, scheduler=self.scheduler,
+        def make_step(module=self.transformer.module,
                       dtype=spec.transformer_dtype, do_cfg=do_cfg,
                       has_cond=cond_channels is not None,
                       has_control=control_channels is not None,
                       has_img=img_embeds is not None):
             def denoise_step(params, latents, ehs, mask, img_embeds, cond_channels,
-                             control_channels, guidance_scale, sigma, sigma_next):
+                             control_channels, guidance_scale, sigma):
                 model_in = latents
                 if has_cond:
                     model_in = jnp.concatenate([latents, cond_channels], axis=1)
@@ -132,7 +133,7 @@ class WanPipeline:
                 if do_cfg:
                     uncond, cond = jnp.split(pred, 2)
                     pred = uncond + guidance_scale * (cond - uncond)
-                return scheduler.step(pred, sigma, sigma_next, latents)
+                return pred
             return denoise_step
 
         denoise_step = instance_jit(
@@ -141,12 +142,13 @@ class WanPipeline:
              control_channels is not None, img_embeds is not None),
             make_step,
         )
+        sampler = self.scheduler.make_sampler(sigmas)
         for i in range(num_inference_steps):
-            latents = denoise_step(
+            pred = denoise_step(
                 self.transformer.params, latents, ehs, mask, img_embeds,
-                cond_channels, control_channels, guidance_scale,
-                float(sigmas[i]), float(sigmas[i + 1]),
+                cond_channels, control_channels, guidance_scale, float(sigmas[i]),
             )
+            latents = sampler.update(pred, i, latents)
 
         mean = jnp.asarray(self.vae.config["latents_mean"]).reshape(1, -1, 1, 1, 1)
         std = jnp.asarray(self.vae.config["latents_std"]).reshape(1, -1, 1, 1, 1)
