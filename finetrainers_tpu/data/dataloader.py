@@ -31,9 +31,17 @@ class DPDataLoader:
         self.collate_fn = collate_fn or (lambda items: items)
         self._resume_skip = 0
         self._batches_yielded = 0
+        # Global position in the underlying sample stream. Round-robin rank
+        # assignment is by GLOBAL index: on resume the underlying dataset
+        # continues mid-stream, so the counter must continue with it — a fresh
+        # enumerate() would shift the parity and hand ranks each other's
+        # samples (re-training some, dropping others).
+        self._stream_index = 0
 
     def _sample_iter(self) -> Iterator[Any]:
-        for i, sample in enumerate(self.dataset):
+        for sample in self.dataset:
+            i = self._stream_index
+            self._stream_index += 1
             if i % self._num_replicas == self._rank:
                 yield sample
 
@@ -79,7 +87,12 @@ class DPDataLoader:
             yield batch
 
     def state_dict(self) -> Dict[str, Any]:
-        state: Dict[str, Any] = {f"dp_rank_{self._rank}": {"batches_yielded": self._batches_yielded}}
+        state: Dict[str, Any] = {
+            f"dp_rank_{self._rank}": {
+                "batches_yielded": self._batches_yielded,
+                "stream_index": self._stream_index,
+            }
+        }
         if hasattr(self.dataset, "state_dict"):
             state[f"dp_rank_{self._rank}"]["dataset"] = self.dataset.state_dict()
         return state
@@ -88,6 +101,12 @@ class DPDataLoader:
         my_state = state.get(f"dp_rank_{self._rank}", {})
         if "dataset" in my_state and hasattr(self.dataset, "load_state_dict"):
             self.dataset.load_state_dict(my_state["dataset"])
+            # The dataset resumes mid-stream: the round-robin counter must
+            # resume with it (see _sample_iter).
+            self._stream_index = my_state.get("stream_index", 0)
         else:
+            # No dataset state: the stream replays from its start, so the
+            # counter restarts too and the skip covers already-seen batches.
             self._resume_skip = my_state.get("batches_yielded", 0)
+            self._stream_index = 0
         self._batches_yielded = my_state.get("batches_yielded", 0)

@@ -58,7 +58,17 @@ def merge_params(trainable, frozen):
 def extract_lora_state_dict(params) -> Dict[str, np.ndarray]:
     """Flat {path: array} of LoRA leaves."""
     flat = flatten_params(params)
-    return {k: np.asarray(v) for k, v in flat.items() if any(lk in k for lk in LORA_KEYS)}
+    return {k: _to_host(v) for k, v in flat.items() if any(lk in k for lk in LORA_KEYS)}
+
+
+def _to_host(v) -> np.ndarray:
+    """Fetch an array to host numpy, all-gathering leaves that span
+    non-addressable devices (multi-process export paths)."""
+    if isinstance(v, jax.Array) and not v.is_fully_addressable and not v.is_fully_replicated:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(v, tiled=True))
+    return np.asarray(v)
 
 
 def save_lora_weights(directory: str, lora_params, lora_config: Dict[str, Any],

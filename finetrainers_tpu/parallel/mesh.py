@@ -219,13 +219,29 @@ class MeshEnv:
         """Device-put a host batch pytree with batch-dim sharding. `seq_dims` maps
         pytree key paths (joined by '.') to the sequence dimension for CP sharding.
 
-        When `batch_size` (the global batch) is given, only tensors whose leading
-        dim equals it are batch-sharded; otherwise a divisibility heuristic is
-        used. Known per-channel stat keys are always replicated — a Wan
-        `latents_mean` of length 16 must not be scattered over 8 dp shards."""
+        When `batch_size` (the GLOBAL batch) is given, only tensors whose leading
+        dim equals this process's share of it are batch-sharded; otherwise a
+        divisibility heuristic is used. Known per-channel stat keys are always
+        replicated — a Wan `latents_mean` of length 16 must not be scattered
+        over 8 dp shards.
+
+        Multi-process: each process passes its PROCESS-LOCAL slice of the batch
+        (leading dim = global / process_count — the DPDataLoader round-robin
+        share); batched leaves are assembled into the global array with
+        `jax.make_array_from_process_local_data` (a plain device_put would make
+        every process treat ITS host value as the global batch, silently
+        training on half of each process's data). Replicated leaves must hold
+        identical values on every process (they are per-channel stats or
+        scalar conditioning)."""
         seq_dims = seq_dims or {}
 
+        nproc = jax.process_count()
         divisor = self.local_batch_size_divisor
+        if batch_size is not None and batch_size % nproc:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process_count {nproc}")
+        local_bs = batch_size // nproc if batch_size is not None else None
+        local_divisor = max(divisor // nproc, 1)
 
         def _place(path, x):
             key = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
@@ -233,16 +249,27 @@ class MeshEnv:
             is_batched = (
                 getattr(x, "ndim", 0) > 0
                 and leaf not in self.REPLICATED_BATCH_KEYS
-                and (x.shape[0] == batch_size if batch_size is not None else x.shape[0] % divisor == 0)
+                and (x.shape[0] == local_bs if local_bs is not None else x.shape[0] % local_divisor == 0)
             )
             if not is_batched:
                 return jax.device_put(x, self.replicated())
-            return jax.device_put(x, self.data_sharding(x.ndim, seq_dims.get(key)))
+            sharding = self.data_sharding(x.ndim, seq_dims.get(key))
+            if nproc == 1:
+                return jax.device_put(x, sharding)
+            import numpy as np
+
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
         return jax.tree_util.tree_map_with_path(_place, batch)
 
     # ------------------------------------------------------------------- control
     def wait_for_everyone(self) -> None:
+        if jax.process_count() > 1:
+            # True cross-process barrier (the torch.distributed.barrier analog).
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("finetrainers_barrier")
+            return
         # Single-controller JAX: block until all outstanding work is done.
         (jax.device_put(0.0) + 0).block_until_ready()
 

@@ -352,10 +352,21 @@ class SFTTrainer(Trainer):
         args = self.args
 
         def export_callback(state: Dict[str, Any]) -> None:
+            step = int(self.state.train_state.step)
+            is_lora = args.training_type in ("lora", "control-lora")
+            trainable, frozen = state["trainable"], self._frozen
+            if jax.process_count() > 1:
+                # Cross-process shards must be all-gathered to host BEFORE the
+                # main-process gate: process_allgather is a collective, and
+                # np.asarray on a non-addressable array raises.
+                from ...lora import _to_host
+
+                trainable = jax.tree_util.tree_map(_to_host, trainable)
+                if not is_lora:
+                    frozen = jax.tree_util.tree_map(_to_host, frozen)
             if not self.mesh_env.is_main_process:
                 return
-            step = int(self.state.train_state.step)
-            if args.training_type in ("lora", "control-lora"):
+            if is_lora:
                 lora_dir = os.path.join(args.output_dir, "lora_weights", f"{step:06d}")
                 lora_config = {
                     "r": getattr(args, "rank", 64),
@@ -363,11 +374,11 @@ class SFTTrainer(Trainer):
                     "target_modules": getattr(args, "target_modules", ""),
                 }
                 self.model_specification._save_lora_weights(
-                    lora_dir, state["trainable"], lora_config, module=self.transformer.module
+                    lora_dir, trainable, lora_config, module=self.transformer.module
                 )
             else:
                 model_dir = os.path.join(args.output_dir, "model_weights", f"{step:06d}")
-                params = merge_params(state["trainable"], self._frozen)
+                params = merge_params(trainable, frozen)
                 self.model_specification._save_model(
                     model_dir, ModelHandle(self.transformer.module, params, self.transformer.config)
                 )
@@ -404,9 +415,17 @@ class SFTTrainer(Trainer):
         logger.info(f"Starting training: {args.train_steps} steps")
 
         # --batch_size is per-data-parallel-rank (reference semantics); the global
-        # batch fed to the jitted step covers every dp shard.
+        # batch fed to the jitted step covers every dp shard. Each PROCESS only
+        # collates its own round-robin share — shard_batch assembles the global
+        # array from the per-process slices (make_array_from_process_local_data).
         global_batch_size = args.batch_size * self.mesh_env.local_batch_size_divisor
-        sampler = ResolutionSampler(global_batch_size, self.model_specification._resolution_dim_keys)
+        nproc = jax.process_count()
+        if global_batch_size % nproc:
+            raise ValueError(
+                f"global batch {global_batch_size} (batch_size x dp degrees) must be "
+                f"divisible by the process count {nproc}")
+        process_batch_size = global_batch_size // nproc
+        sampler = ResolutionSampler(process_batch_size, self.model_specification._resolution_dim_keys)
 
         batch_stream = self._sharded_batch_stream(sampler, global_batch_size)
         use_prefetch = args.dataloader_num_workers > 0 or args.pin_memory
@@ -732,6 +751,18 @@ class SFTTrainer(Trainer):
             # handed out but NOT trained: save the pre-pull snapshot so resume
             # re-delivers it instead of dropping it.
             loader_state = getattr(self, "_pending_loader_state", None) or self._loader_snapshot()
+            if jax.process_count() > 1:
+                # The metadata JSON is written by process 0 only (Orbax JsonSave);
+                # each process's dp_rank_{n} loader position must be merged into
+                # it or every other rank restarts its stream from scratch on
+                # resume (the analog of the reference's per-rank DPDataLoader
+                # state keys, reference data/dataloader.py:13-40).
+                from ...parallel.utils import all_gather_object
+
+                merged: Dict[str, Any] = {}
+                for per_process in all_gather_object(loader_state):
+                    merged.update(per_process)
+                loader_state = merged
             metadata = {
                 "train_state": self.state.train_state.state_dict(),
                 "dataloader": loader_state,

@@ -1,0 +1,147 @@
+"""Real multi-process integration tests: 2 actual `jax.distributed` CPU
+processes (gloo collectives, 2 virtual devices each -> 4 global devices), the
+analog of the reference's torchrun-launched test matrix
+(`/root/reference/tests/README.md`). Everything the monkeypatch tests in
+test_mesh.py fake — DPDataLoader round-robin, all_gather_object, Orbax
+distributed save/restore, cross-process batch assembly — runs here across
+genuine process boundaries via tests/scripts/multiproc_worker.py.
+"""
+
+import csv
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+WORKER = REPO_ROOT / "tests" / "scripts" / "multiproc_worker.py"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(outdir, dataset_config, output_dir, *, train_steps=6,
+            checkpointing_steps=3, resume=False, num_processes=2, timeout=900):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker pins its own device count
+    procs = []
+    for pid in range(num_processes):
+        cmd = [
+            sys.executable, str(WORKER),
+            "--process-id", str(pid), "--num-processes", str(num_processes),
+            "--port", str(port), "--outdir", str(outdir),
+            "--dataset-config", dataset_config, "--output-dir", str(output_dir),
+            "--train-steps", str(train_steps),
+            "--checkpointing-steps", str(checkpointing_steps),
+        ]
+        if resume:
+            cmd.append("--resume")
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=str(REPO_ROOT),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker {p.args} failed:\n{out[-4000:]}"
+    results = []
+    for pid in range(num_processes):
+        path = pathlib.Path(outdir) / f"result_{pid}.json"
+        assert path.exists(), f"worker {pid} wrote no result:\n{outputs[pid][-4000:]}"
+        results.append(json.loads(path.read_text()))
+    return results
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("mp_tiny_ds")
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        path = root / f"vid{i}.mp4"
+        writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 8, (64, 64))
+        for _ in range(8):
+            writer.write((rng.rand(64, 64, 3) * 255).astype(np.uint8))
+        writer.release()
+        rows.append({"file_name": f"vid{i}.mp4", "caption": f"a dummy video number {i}"})
+    with open(root / "metadata.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["file_name", "caption"])
+        w.writeheader()
+        [w.writerow(r) for r in rows]
+    config = {
+        "datasets": [
+            {
+                "data_root": str(root),
+                "dataset_type": "video",
+                "video_resolution_buckets": [[4, 32, 32]],
+                "reshape_mode": "bicubic",
+            }
+        ]
+    }
+    config_path = root / "config.json"
+    config_path.write_text(json.dumps(config))
+    return str(config_path)
+
+
+class TestMultiProcess:
+    def test_train_checkpoint_resume_across_processes(self, tmp_path, tiny_dataset):
+        # Straight 6-step run (reference for bit-identical resume).
+        straight = _launch(tmp_path / "res_straight", tiny_dataset,
+                           tmp_path / "run_straight", train_steps=6)
+        # 4 steps, checkpoint at 3, then resume to 6.
+        part1 = _launch(tmp_path / "res_part1", tiny_dataset,
+                        tmp_path / "run_resumed", train_steps=4)
+        part2 = _launch(tmp_path / "res_part2", tiny_dataset,
+                        tmp_path / "run_resumed", train_steps=6, resume=True)
+
+        for results in (straight, part1, part2):
+            # Collectives and topology.
+            for r in results:
+                assert r["process_count"] == 2
+                assert r["global_devices"] == 4 and r["local_devices"] == 2
+                assert r["all_gather_pids"] == [0, 1]
+                assert r["all_gather_lens"] == [11, 48]
+            # Round-robin rank sharding: disjoint interleaved coverage.
+            assert results[0]["loader_samples"] == list(range(0, 12, 2))
+            assert results[1]["loader_samples"] == list(range(1, 12, 2))
+            # global_avg loss is a cross-process collective result: identical.
+            assert results[0]["losses"] == results[1]["losses"], results
+
+        assert straight[0]["final_step"] == 6
+        assert part1[0]["final_step"] == 4
+        assert part2[0]["final_step"] == 6
+        assert "finetrainers_step_3" in part1[0]["checkpoints"]
+        assert "finetrainers_step_6" in part2[0]["checkpoints"]
+
+        # Orbax distributed save -> restore -> resume reproduces the straight
+        # run (same data order, same RNG folding, same reductions). rtol covers
+        # the observed 1-ulp fp32 drift in the restored optimizer moments; a
+        # data-order or RNG mismatch shows up at the 1e-2 scale.
+        np.testing.assert_allclose(
+            np.asarray(part2[0]["losses"][-2:]),
+            np.asarray(straight[0]["losses"][-2:]),
+            rtol=1e-5, atol=0,
+        )
+
+    def test_observed_data_samples_accounting(self, tmp_path, tiny_dataset):
+        results = _launch(tmp_path / "res_acct", tiny_dataset,
+                          tmp_path / "run_acct", train_steps=2,
+                          checkpointing_steps=100)
+        # 2 steps x global batch: the count is global, identical on both ranks.
+        assert results[0]["observed_data_samples"] == results[1]["observed_data_samples"]
+        assert results[0]["observed_data_samples"] > 0
