@@ -605,6 +605,167 @@ def _bwd_dkdv_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    kv_lens_ref,
+    blockmap_ref,
+    q_ref,  # (1, 1, bq, H)
+    k_ref,  # (1, 1, bkv, H)
+    v_ref,  # (1, 1, bkv, H)
+    do_ref,  # (1, 1, bq, H)
+    lse_ref,  # (1, 1, 8, bq) S-last
+    delta_ref,  # (1, 1, 8, bq)
+    *rest,  # [seg x2,] [mask,] [rope x4,] dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_acc [, rope caches]
+    scale: float,
+    causal: bool,
+    has_segments: bool,
+    has_mask: bool,
+    has_rope: bool,
+    has_kv_lens: bool,
+    cache_rope: bool,
+    block_q: int,
+    block_kv: int,
+    q_seq_len: int,
+    kv_seq_len: int,
+):
+    """Single-kernel backward: grid (B, N, nkv, nq) like dKdV, but each cell
+    also feeds a FULL-q-length f32 dq accumulator in VMEM scratch. The split
+    dQ/dKdV pair recomputes s = q@k^T, p = exp2(s - lse) and dp = dO@V^T twice
+    per (q, kv) tile; the kernels are VPU-issue-bound, so the duplicated exp2 /
+    mask / ds full-tile sweeps are pure wall time. The dq output block is the
+    whole (q_pad, H) plane with a CONSTANT index map — Pallas DMAs it out once
+    per (b, n), after the accumulator's last update (no aliased partial writes,
+    which broke double-buffering in the round-3 aliasing experiment)."""
+    rest = list(rest)
+    q_seg_ref = kv_seg_ref = mask_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_segments:
+        q_seg_ref, kv_seg_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if has_mask:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+        rest = rest[4:]
+    if cache_rope:
+        *rest, qrot_scr, krot_scr = rest
+    dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_acc = rest
+    b = pl.program_id(0)
+    kj = pl.program_id(2)
+    qi = pl.program_id(3)
+    num_q = pl.num_programs(3)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init_kv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(kj == 0)
+    def _init_dq():
+        dq_acc[pl.ds(qi * block_q, block_q), :] = jnp.zeros((block_q, dq_acc.shape[1]), dq_acc.dtype)
+
+    qscale = scale * _LOG2E
+
+    if cache_rope:
+        @pl.when(kj == 0)
+        def _rot_q():
+            qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
+            qrot_scr[pl.ds(qi * block_q, block_q), :] = (qr * qscale).astype(qrot_scr.dtype)
+
+        @pl.when(qi == 0)
+        def _rot_k():
+            kr = _rope_fwd(k_ref[0, 0].astype(jnp.float32), cos_k_ref[0], sin_k_ref[0])
+            krot_scr[:] = kr.astype(krot_scr.dtype)
+
+    kv_len = kv_lens_ref[b]
+
+    def _compute():
+        if cache_rope:
+            q = qrot_scr[pl.ds(qi * block_q, block_q), :]
+            k = krot_scr[:]
+        else:
+            q = q_ref[0, 0]
+            k = k_ref[0, 0]
+            if has_rope:
+                q = (_rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]) * qscale).astype(q.dtype)
+                k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+            else:
+                q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = jax.lax.transpose(lse_ref[0, 0, :1, :], (1, 0)).astype(jnp.float32) * _LOG2E
+        delta = jax.lax.transpose(delta_ref[0, 0, :1, :], (1, 0)).astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bkv) f32, base-2 logit space
+        mask = None
+        if has_kv_lens:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len
+        if causal:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cm = col <= row + (kv_seq_len - q_seq_len)
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
+        if q_seg_ref is not None:
+            sm = q_seg_ref[0, :, :1] == kv_seg_ref[0, :1, :]
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
+        if mask_ref is not None:
+            s = s + (mask_ref[0].astype(jnp.float32) - 1.0) * 1e30
+        p = jnp.exp2(s - lse).astype(do.dtype)  # padded q rows: lse=+inf -> p=0
+        if mask is not None:
+            p = jnp.where(mask, p, jnp.zeros_like(p))
+
+        # dv += P^T @ dO
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bkv) f32
+        ds = p * (dp - delta).astype(p.dtype)
+        # dk += dS^T @ (scale*log2e * Q)  — surplus log2e undone at emit
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dq[qi] += dS @ (rotated K) — the one extra matmul the fusion costs;
+        # everything above it (s, p, dp, ds) was computed twice before.
+        dq_acc[pl.ds(qi * block_q, block_q), :] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    block_needed = None
+    if causal:
+        last_row = (qi + 1) * block_q - 1 + (kv_seq_len - q_seq_len)
+        block_needed = kj * block_kv <= last_row
+    if has_mask:
+        occupied = blockmap_ref[b, qi, kj] > 0
+        block_needed = occupied if block_needed is None else jnp.logical_and(block_needed, occupied)
+    if block_needed is not None:
+        @pl.when(block_needed)
+        def _():
+            _compute()
+    else:
+        _compute()
+
+    @pl.when(qi == num_q - 1)
+    def _emit_kv():
+        dk = dk_scr[:] * _LN2
+        if has_rope:
+            dk = _rope_bwd(dk, cos_k_ref[0], sin_k_ref[0])
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+    @pl.when(kj == num_kv - 1)
+    def _emit_dq():
+        dq = dq_acc[pl.ds(qi * block_q, block_q), :] * scale  # ds lacked its *scale
+        if has_rope:
+            dq = _rope_bwd(dq, cos_q_ref[0], sin_q_ref[0])
+        dq_ref[0, 0, pl.ds(qi * block_q, block_q), :] = dq.astype(dq_ref.dtype)
+
+
 def _bwd_dq_kernel(
     kv_lens_ref,
     blockmap_ref,
@@ -766,6 +927,8 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
     deltap = _pad_to(delta, q_pad, 2)
     deltap = jnp.broadcast_to(deltap[:, :, None, :], (batch, num_heads, 8, q_pad))
 
+    import os as _os
+
     cache_rope = (
         has_rope and not has_mask and not causal and not has_segments
         and kv_pad * head_dim * q.dtype.itemsize <= 1 << 20
@@ -826,6 +989,53 @@ def _flash_backward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, out, lse, do, sc
             pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
         ]
+
+    # Fused single-kernel backward (opt-in, MEASURED SLOWER — kept as a tested
+    # experiment): one kernel computes dq/dk/dv per (kv, q) tile with a full-q
+    # f32 dq accumulator in VMEM and a constant-index dq out plane, removing
+    # the split pair's duplicated s/p/dp/ds sweeps. Grads are bit-exact vs the
+    # split kernels on-chip, but at the LTX flagship shape it measures 4.27 ms
+    # fwd+bwd vs 4.13 split (no RoPE) and 5.19-5.36 vs 4.26 (fused RoPE): the
+    # dynamic-offset read-modify-write on the full-length accumulator and the
+    # 3-output buffer pressure cost more than the removed VPU sweeps save.
+    # See docs/perf.md "Tried and rejected".
+    fused = _os.environ.get("FINETRAINERS_FLASH_FUSED_BWD") == "1" and q_pad * head_dim * 6 <= (3 << 20)
+    if fused:
+        dk, dv, dq = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, **common),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(batch, num_heads, kv_pad // block_kv, q_pad // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
+                    pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                    pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                    pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, j, i, *_: (b, n, i, 0)),
+                    pl.BlockSpec((1, 1, 8, block_q), lambda b, n, j, i, *_: (b, n, 0, i)),
+                    pl.BlockSpec((1, 1, 8, block_q), lambda b, n, j, i, *_: (b, n, 0, i)),
+                ] + dkdv_seg_specs,
+                out_specs=[
+                    pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                    pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, j, i, *_: (b, n, j, 0)),
+                    pl.BlockSpec((1, 1, q_pad, head_dim), lambda b, n, j, i, *_: (b, n, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_kv, head_dim), jnp.float32),
+                    pltpu.VMEM((block_kv, head_dim), jnp.float32),
+                    pltpu.VMEM((q_pad, head_dim), jnp.float32),
+                ] + ([
+                    pltpu.VMEM((q_pad, head_dim), q.dtype),
+                    pltpu.VMEM((block_kv, head_dim), k.dtype),
+                ] if cache_rope else []),
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), k.dtype),
+                jax.ShapeDtypeStruct((batch, num_heads, kv_pad, head_dim), v.dtype),
+                jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),
+            ],
+            interpret=_interpret(),
+        )(kv_lens, blockmap, qp, kp, vp, dop, lsep, deltap, *seg_operands)
+        return dq[:, :, :q_len], dk[:, :, :kv_len], dv[:, :, :kv_len]
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
