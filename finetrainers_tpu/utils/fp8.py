@@ -20,6 +20,11 @@ import jax.numpy as jnp
 DEFAULT_SKIP_PATTERNS = [
     "patch_embed", "pos_embed", "x_embedder", "context_embedder", "time_embed",
     r"^proj_in$", r"^proj_out$", "norm",
+    # Bare (non-module) parameters: diffusers' layerwise-casting hooks
+    # Linear/Conv modules, so nn.Parameter tables like the LTX/Wan per-block
+    # scale_shift_table are never cast there — and they are consumed by raw
+    # fp32 adds here (wan/transformer.py:111), where fp8 has no promotion path.
+    "scale_shift_table",
 ]
 
 

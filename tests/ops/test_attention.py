@@ -108,6 +108,38 @@ class TestProviderRegistry:
                 pass
 
 
+class TestAttentionDropout:
+    """dropout_p pass-through (reference attention_dispatch.py:118): with an
+    explicit rng the math path applies inverted dropout; without one it fails
+    loudly instead of silently ignoring it."""
+
+    def _qkv(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8), jnp.float32)
+        return q, q, q
+
+    def test_requires_rng(self):
+        q, k, v = self._qkv()
+        with pytest.raises(ValueError, match="dropout_rng"):
+            attention_dispatch(q, k, v, dropout_p=0.5)
+
+    def test_zero_dropout_matches_math(self):
+        q, k, v = self._qkv()
+        base = attention_dispatch(q, k, v, provider="_native_math")
+        out = attention_dispatch(q, k, v, dropout_p=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-5, rtol=2e-5)
+
+    def test_dropout_perturbs_and_preserves_expectation(self):
+        q, k, v = self._qkv()
+        base = np.asarray(attention_dispatch(q, k, v, provider="_native_math"))
+        keys = jax.random.split(jax.random.PRNGKey(7), 512)
+        outs = jax.vmap(lambda r: attention_dispatch(q, k, v, dropout_p=0.3, dropout_rng=r))(keys)
+        outs = np.asarray(outs)
+        assert not np.allclose(outs[0], base)  # it actually drops
+        # inverted dropout: the mean over rngs approaches the no-dropout output
+        se = outs.std(axis=0) / np.sqrt(outs.shape[0])
+        np.testing.assert_array_less(np.abs(outs.mean(axis=0) - base), 5 * se + 0.02)
+
+
 @pytest.mark.parametrize("cp", [2, 4])
 class TestRingAttentionCP:
     """CP2/CP4 ring attention vs full-sequence math attention (reference

@@ -155,7 +155,70 @@ def setup_hunyuan(jnp):
     return spec, make_module, init_args, conditions, latent_conditions, flops, 32
 
 
-FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan}
+def setup_wan(jnp):
+    """Wan2.1-T2V-1.3B at the reference headline conditions (49x512x768, rank
+    128): the second real family with a full steps/s + MFU measurement on ONE
+    chip (CogVideoX-5B/Hunyuan at the same conditions exceed 16 GB single-chip,
+    see docs/perf.md memory floors — their rows here are memory-only)."""
+    from finetrainers_tpu.models.wan.base_specification import (
+        WAN_T2V_1_3B_CONFIG,
+        WanModelSpecification,
+    )
+    from finetrainers_tpu.models.wan.transformer import WanTransformer3DModel
+
+    cfg = dict(WAN_T2V_1_3B_CONFIG)
+    f_lat, h_lat, w_lat, l_ctx = 13, 64, 96, 512  # 49x512x768 through the Wan VAE
+    if TINY:
+        cfg.update(num_layers=2, num_attention_heads=2, ffn_dim=64)
+        f_lat, h_lat, w_lat, l_ctx = 2, 8, 8, 16
+    spec = WanModelSpecification(
+        pretrained_model_name_or_path="floor-bench-random-init",
+        transformer_config=cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK,
+    )
+
+    def make_module(checkpoint):
+        return WanTransformer3DModel(
+            **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
+            use_scan=True, gradient_checkpointing=checkpoint,
+        )
+
+    def init_args():
+        return (
+            jnp.zeros((B, cfg["in_channels"], 1, 2, 2)),
+            jnp.zeros((B, 8, cfg["text_dim"])),
+            jnp.zeros((B,)),
+        )
+
+    conditions = {
+        "encoder_hidden_states": jnp.zeros((B, l_ctx, cfg["text_dim"]), jnp.bfloat16),
+        "encoder_attention_mask": jnp.ones((B, l_ctx), jnp.int32),
+    }
+    latent_conditions = {
+        "latents": jnp.zeros((B, 2 * cfg["in_channels"], f_lat, h_lat, w_lat), jnp.float32),
+        "latents_mean": jnp.zeros((cfg["in_channels"],), jnp.float32),
+        "latents_std": jnp.ones((cfg["in_channels"],), jnp.float32),
+    }
+
+    def flops(remat_factor: float) -> float:
+        d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+        pt, ph, pw = cfg["patch_size"]
+        s = (f_lat // pt) * (h_lat // ph) * (w_lat // pw)
+        # per layer: qkv/out + self-attn scores at s, cross-attn kv at l_ctx,
+        # ffn at ffn_dim (not 4d), LoRA
+        fl = 4 * 2 * s * d * d
+        fl += 2 * 2 * s * s * d  # self-attention scores+values
+        fl += 2 * 2 * s * l_ctx * d  # cross-attention scores+values
+        fl += 2 * 2 * l_ctx * d * d  # cross k/v projections
+        fl += 2 * 2 * s * d * cfg["ffn_dim"]
+        fl += 8 * 2 * s * (d * LORA_RANK + LORA_RANK * d)
+        fwd = cfg["num_layers"] * fl
+        return fwd * B * (2.0 + remat_factor)
+
+    return spec, make_module, init_args, conditions, latent_conditions, flops, None
+
+
+FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan,
+            "wan_1_3b": setup_wan}
 
 
 def main() -> None:
