@@ -14,6 +14,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -432,12 +433,18 @@ def block_stack(
     if checkpoint is not None:
         policy = get_checkpoint_policy("full" if checkpoint == "block_skip" else checkpoint)
         body = nn.remat(_Body, policy=policy, prevent_cse=False)
+    # Loop unrolling trades executable size for cross-iteration overlap of the
+    # scan's activation-stack DMA with the next block's compute (the profiled
+    # ~25 ms/step stall tail lives at iteration boundaries). Default 1; bench
+    # experiments via env.
+    unroll = int(os.environ.get("FINETRAINERS_SCAN_UNROLL", "1"))
     scanned = nn.scan(
         body,
         variable_axes={"params": 0},
         split_rngs={"params": True},
         length=n_scan,
         in_axes=nn.broadcast,
+        unroll=max(1, unroll),
     )(name=f"{list_name}{SCAN_SUFFIX}")
     carry, _ = scanned(carry, *broadcast_args)
     # Trailing remainder blocks (odd depth under block_skip) stay per-block.
