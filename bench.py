@@ -276,7 +276,7 @@ def main() -> None:
     # residuals (tagged attn_out), and norm statistics — the backward replays
     # only elementwise ops, which the analytic count excludes (~0 matmul
     # replay). ops_narrow additionally re-runs the ff1 matmul (~0.15x fwd).
-    remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_narrow": 0.15, None: 0.0}[checkpoint]
+    remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_attn": 0.4, "ops_narrow": 0.15, None: 0.0}[checkpoint]
     flops = ltx_train_step_flops(cfg, LORA_RANK, remat_factor)
     tflops = flops * steps_per_sec / 1e12
     # Peak HBM (BASELINE.md's memory-floor counterpart; reference README:95-109

@@ -413,7 +413,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
     parser.add_argument("--gradient_checkpointing", action="store_true")
     parser.add_argument("--gradient_checkpointing_type", type=str, default="full",
-                        choices=["full", "ops", "ops_narrow", "block_skip"])
+                        choices=["full", "ops", "ops_attn", "ops_narrow", "block_skip"])
     parser.add_argument("--steps_per_dispatch", type=int, default=1)
     parser.add_argument("--checkpointing_steps", type=int, default=500)
     parser.add_argument("--checkpointing_limit", type=int, default=None)

@@ -19,7 +19,7 @@ from typing import Callable, Optional
 import jax
 
 
-CHECKPOINT_TYPES = ("full", "ops", "ops_narrow", "block_skip")
+CHECKPOINT_TYPES = ("full", "ops", "ops_attn", "ops_narrow", "block_skip")
 
 
 def _dot_out_minor_dim(prim, args, params) -> Optional[int]:
@@ -51,6 +51,15 @@ def get_checkpoint_policy(checkpoint_type: str = "full") -> Optional[Callable]:
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names("attn_out", "norm_stat"),
         )
+    if checkpoint_type == "ops_attn":
+        # Save ONLY the attention kernel residuals (+ tiny norm stats) and
+        # recompute every projection/MLP matmul: the long-sequence middle
+        # ground between "full" (replays the flash forward inside the remat
+        # backward — the single most expensive recompute at S >= 16k, where
+        # attention dominates step FLOPs) and "ops" (whose saved ff1/qkv
+        # stacks cost ~300-400 MB/block at Wan scale and OOM). Memory: block
+        # input stack + ~65 MB/block of attention outputs at Wan-1.3B scale.
+        return jax.checkpoint_policies.save_only_these_names("attn_out", "norm_stat")
     if checkpoint_type == "ops_narrow":
         # Like "ops" but WIDE dot outputs (minor dim > 4096 — the MLP hidden)
         # are recomputed in the backward instead of saved: trades one extra

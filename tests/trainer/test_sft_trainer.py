@@ -306,6 +306,17 @@ class TestSFTTrainer:
             train_steps=3,
         )
 
+    def test_gradient_checkpointing_ops_attn(self, tmp_path, tiny_dataset):
+        # the long-sequence policy: save only attention residuals + norm stats,
+        # recompute all matmuls in the backward
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--gradient_checkpointing",
+             "--gradient_checkpointing_type", "ops_attn"],
+            train_steps=3,
+        )
+
     def test_loss_decreases(self, tmp_path, tiny_dataset):
         _run_training(
             tmp_path, tiny_dataset,

@@ -356,7 +356,7 @@ def main() -> None:
     _ = np.asarray(loss)
     elapsed = (time.perf_counter() - t0) / TIMED_STEPS
 
-    remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_narrow": 0.15, None: 0.0}[checkpoint]
+    remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_attn": 0.4, "ops_narrow": 0.15, None: 0.0}[checkpoint]
     tflops = flops_fn(remat_factor) / elapsed / 1e12
     _emit(family, shards, checkpoint, 1.0 / elapsed, tflops, mem_gb, ref_floor)
 
