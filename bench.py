@@ -166,16 +166,34 @@ def main() -> None:
         )["params"],
         jax.random.PRNGKey(0),
     )
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.ndim >= 2 else s.dtype), shapes
-    )
-    mask = lora_mask(params)
-    trainable, frozen = split_params(params, mask)
+    # Split on the SHAPE tree and materialize every leaf directly in its final
+    # storage dtype (a bf16-zeros-then-cast keeps both 3.8 GB copies live via
+    # the pre-split tree and OOMs the chip before the step runs).
+    mask = lora_mask(shapes)
+    trainable_shapes, frozen_shapes = split_params(shapes, mask)
     # LoRA factors train in fp32 (reference keeps LoRA fp32 under FSDP).
     trainable = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32) if x is not None else None,
-        trainable, is_leaf=lambda x: x is None,
+        lambda s: jnp.zeros(s.shape, jnp.float32) if s is not None else None,
+        trainable_shapes, is_leaf=lambda x: x is None,
     )
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros((1,) * s.ndim, jnp.bfloat16 if s.ndim >= 2 else s.dtype)
+        if s is not None else None,
+        frozen_shapes, is_leaf=lambda x: x is None,
+    )
+    if os.environ.get("BENCH_FP8") == "1":
+        # fp8 frozen-weight storage — the reference's own LoRA headline
+        # conditions (README footnotes: FP8 weights + grad ckpt + precompute).
+        # Halves frozen-weight HBM AND per-step weight DMA (read in fwd + dgrad)
+        # when XLA fuses the upcast into the consuming matmuls.
+        from finetrainers_tpu.utils.fp8 import apply_layerwise_storage_dtype
+
+        template = apply_layerwise_storage_dtype(template)
+    frozen = jax.tree_util.tree_map(
+        lambda s, t: jnp.zeros(s.shape, t.dtype) if s is not None else None,
+        frozen_shapes, template, is_leaf=lambda x: x is None,
+    )
+    del template
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
     opt_state = jax.jit(optimizer.init)(trainable)

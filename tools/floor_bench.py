@@ -217,8 +217,61 @@ def setup_wan(jnp):
     return spec, make_module, init_args, conditions, latent_conditions, flops, None
 
 
+def setup_cogview4(jnp):
+    """CogView4-6B T2I at 1024x1024 (the reference README's CogView4 row is
+    "TODO"; these are its validation-default conditions): 16-ch latents at
+    128x128, patch 2 -> 4096 image tokens + 224 GLM text tokens, LoRA r128."""
+    from finetrainers_tpu.models.cogview4.base_specification import (
+        COGVIEW4_TRANSFORMER_CONFIG,
+        CogView4ModelSpecification,
+    )
+    from finetrainers_tpu.models.cogview4.transformer import CogView4Transformer2DModel
+
+    cfg = dict(COGVIEW4_TRANSFORMER_CONFIG)
+    h_lat, w_lat, l_ctx = 128, 128, 224  # 1024x1024 through the 8x KL VAE
+    if TINY:
+        cfg.update(num_layers=2, num_attention_heads=2, attention_head_dim=16)
+        h_lat, w_lat, l_ctx = 8, 8, 16
+    spec = CogView4ModelSpecification(
+        pretrained_model_name_or_path="floor-bench-random-init",
+        transformer_config=cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK,
+    )
+
+    def make_module(checkpoint):
+        return CogView4Transformer2DModel(
+            **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
+            use_scan=True, gradient_checkpointing=checkpoint,
+        )
+
+    def init_args():
+        return (
+            jnp.zeros((B, cfg["in_channels"], 4, 4)),
+            jnp.zeros((B, 8, cfg["text_embed_dim"])),
+            jnp.zeros((B,)),
+        )
+
+    conditions = {
+        "encoder_hidden_states": jnp.zeros((B, l_ctx, cfg["text_embed_dim"]), jnp.bfloat16),
+    }
+    latent_conditions = {
+        "latents": jnp.zeros((B, 2 * cfg["in_channels"], h_lat, w_lat), jnp.float32),
+        "original_size": jnp.full((B, 2), 1024.0),
+        "target_size": jnp.full((B, 2), 1024.0),
+        "crop_coords": jnp.zeros((B, 2)),
+    }
+
+    def flops(remat_factor: float) -> float:
+        d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+        p = cfg["patch_size"]
+        s = (h_lat // p) * (w_lat // p) + l_ctx  # joint stream
+        fwd = cfg["num_layers"] * _attn_ff_flops(s, d, LORA_RANK)
+        return fwd * B * (2.0 + remat_factor)
+
+    return spec, make_module, init_args, conditions, latent_conditions, flops, None
+
+
 FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan,
-            "wan_1_3b": setup_wan}
+            "wan_1_3b": setup_wan, "cogview4_6b": setup_cogview4}
 
 
 def main() -> None:
