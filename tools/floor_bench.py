@@ -94,7 +94,7 @@ def setup_cogvideox(jnp):
         fwd = cfg["num_layers"] * _attn_ff_flops(s, d, LORA_RANK)
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, 18
+    return spec, make_module, init_args, conditions, latent_conditions, flops, 18, "49x512x768"
 
 
 def setup_hunyuan(jnp):
@@ -152,7 +152,7 @@ def setup_hunyuan(jnp):
         fwd = cfg["num_layers"] * per_dual + cfg["num_single_layers"] * per_single
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, 32
+    return spec, make_module, init_args, conditions, latent_conditions, flops, 32, "49x512x768"
 
 
 def setup_wan(jnp):
@@ -214,7 +214,7 @@ def setup_wan(jnp):
         fwd = cfg["num_layers"] * fl
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, None
+    return spec, make_module, init_args, conditions, latent_conditions, flops, None, "49x512x768"
 
 
 def setup_cogview4(jnp):
@@ -267,7 +267,7 @@ def setup_cogview4(jnp):
         fwd = cfg["num_layers"] * _attn_ff_flops(s, d, LORA_RANK)
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, None
+    return spec, make_module, init_args, conditions, latent_conditions, flops, None, "1024x1024"
 
 
 FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan,
@@ -298,9 +298,8 @@ def main() -> None:
     checkpoint = os.environ.get("BENCH_REMAT", "full")
     checkpoint = None if checkpoint == "none" else checkpoint
 
-    spec, make_module, init_args, conditions, latent_conditions, flops_fn, ref_floor = (
-        FAMILIES[family](jnp)
-    )
+    (spec, make_module, init_args, conditions, latent_conditions, flops_fn, ref_floor,
+     bench_conditions) = FAMILIES[family](jnp)
     module = make_module(checkpoint)
 
     shapes = jax.eval_shape(
@@ -397,7 +396,7 @@ def main() -> None:
     except Exception as e:
         print(f"static peak HBM unavailable: {e}", flush=True)
     if os.environ.get("BENCH_MEM_ONLY") == "1":
-        _emit(family, shards, checkpoint, None, None, mem_gb, ref_floor)
+        _emit(family, shards, checkpoint, None, None, mem_gb, ref_floor, bench_conditions)
         return
 
     trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, 0))
@@ -411,12 +410,12 @@ def main() -> None:
 
     remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_attn": 0.4, "ops_narrow": 0.15, None: 0.0}[checkpoint]
     tflops = flops_fn(remat_factor) / elapsed / 1e12
-    _emit(family, shards, checkpoint, 1.0 / elapsed, tflops, mem_gb, ref_floor)
+    _emit(family, shards, checkpoint, 1.0 / elapsed, tflops, mem_gb, ref_floor, bench_conditions)
 
 
-def _emit(family, shards, checkpoint, steps_per_sec, tflops, mem_gb, ref_floor):
+def _emit(family, shards, checkpoint, steps_per_sec, tflops, mem_gb, ref_floor, conditions="49x512x768"):
     print(json.dumps({
-        "metric": f"train_step_{family}_lora_49x512x768_fp8"
+        "metric": f"train_step_{family}_lora_{conditions}_fp8"
                   + (f"_fsdp{shards}" if shards > 1 else ""),
         "value": round(steps_per_sec, 5) if steps_per_sec else None,
         "unit": "steps/sec",
