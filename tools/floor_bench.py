@@ -270,8 +270,66 @@ def setup_cogview4(jnp):
     return spec, make_module, init_args, conditions, latent_conditions, flops, None, "1024x1024"
 
 
+def setup_flux(jnp):
+    """Flux.1-dev T2I at 1024x1024 (reference README row "TODO"): packed 2x2
+    latents -> 4096 image tokens + 512 T5 tokens, 19 dual + 38 single blocks,
+    LoRA r128. ~11.9 GB of fp8 weights: single-chip fit is memory-bound."""
+    from finetrainers_tpu.models.flux.base_specification import (
+        FLUX_TRANSFORMER_CONFIG,
+        FluxModelSpecification,
+    )
+    from finetrainers_tpu.models.flux.transformer import FluxTransformer2DModel
+
+    cfg = dict(FLUX_TRANSFORMER_CONFIG)
+    h_lat, w_lat, l_ctx = 128, 128, 512  # 1024x1024 through the 8x KL VAE
+    if TINY:
+        cfg.update(num_layers=1, num_single_layers=1, num_attention_heads=2)
+        h_lat, w_lat, l_ctx = 8, 8, 16
+    spec = FluxModelSpecification(
+        pretrained_model_name_or_path="floor-bench-random-init",
+        transformer_config=cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK,
+    )
+
+    def make_module(checkpoint):
+        return FluxTransformer2DModel(
+            **cfg, lora_rank=LORA_RANK, lora_alpha=LORA_RANK, dtype=jnp.bfloat16,
+            use_scan=True, gradient_checkpointing=checkpoint,
+        )
+
+    def init_args():
+        return (
+            jnp.zeros((B, 4, cfg["in_channels"])),
+            jnp.zeros((B, 8, cfg["joint_attention_dim"])),
+            jnp.zeros((B, cfg["pooled_projection_dim"])),
+            jnp.zeros((B,)),
+            jnp.zeros((4, 3)),
+            jnp.zeros((8, 3)),
+        )
+
+    s_img = (h_lat // 2) * (w_lat // 2)
+    conditions = {
+        "encoder_hidden_states": jnp.zeros((B, l_ctx, cfg["joint_attention_dim"]), jnp.bfloat16),
+        "pooled_projections": jnp.zeros((B, cfg["pooled_projection_dim"]), jnp.bfloat16),
+    }
+    latent_conditions = {
+        # 2D KL moments (B, 2C, H, W); the spec packs 2x2 internally
+        "latents": jnp.zeros((B, 2 * (cfg["in_channels"] // 4), h_lat, w_lat), jnp.float32),
+    }
+
+    def flops(remat_factor: float) -> float:
+        d = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+        s = s_img + l_ctx
+        per_dual = 2 * _attn_ff_flops(s, d, LORA_RANK)
+        per_single = _attn_ff_flops(s, d, LORA_RANK)
+        fwd = cfg["num_layers"] * per_dual + cfg["num_single_layers"] * per_single
+        return fwd * B * (2.0 + remat_factor)
+
+    return spec, make_module, init_args, conditions, latent_conditions, flops, None, "1024x1024"
+
+
 FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan,
-            "wan_1_3b": setup_wan, "cogview4_6b": setup_cogview4}
+            "wan_1_3b": setup_wan, "cogview4_6b": setup_cogview4,
+            "flux_dev": setup_flux}
 
 
 def main() -> None:
