@@ -65,3 +65,47 @@ class TestBaseArgs:
         args.register_args(AttentionProviderArgs())
         with pytest.raises(ValueError):
             args.parse_args(MINIMAL + ["--attn_provider_training", "transformer:cuda_flash"])
+
+
+# The reference CLI surface (finetrainers/args.py add_argument flags as of the
+# surveyed revision), frozen here so the superset guarantee that docs/migration.md
+# makes ("every reference flag parses") is enforced without the reference checkout.
+REFERENCE_FLAGS = [
+    "allow_tf32", "attn_provider_inference", "attn_provider_training", "batch_size",
+    "beta1", "beta2", "beta3", "cache_dir", "checkpointing_limit", "checkpointing_steps",
+    "compile_modules", "compile_scopes", "cp_degree", "dataloader_num_workers",
+    "dataset_config", "dataset_shuffle_buffer_size", "dp_degree", "dp_shards",
+    "enable_model_cpu_offload", "enable_precomputation", "enable_slicing",
+    "enable_tiling", "epsilon", "float32_matmul_precision", "flow_base_seq_len",
+    "flow_base_shift", "flow_logit_mean", "flow_logit_std", "flow_max_seq_len",
+    "flow_max_shift", "flow_mode_scale", "flow_resolution_shifting", "flow_shift",
+    "flow_weighting_scheme", "gradient_accumulation_steps", "gradient_checkpointing",
+    "hub_model_id", "hub_token", "init_timeout", "layerwise_upcasting_modules",
+    "layerwise_upcasting_skip_modules_pattern", "layerwise_upcasting_storage_dtype",
+    "list_models", "logging_dir", "logging_steps", "lr", "lr_num_cycles", "lr_power",
+    "lr_scheduler", "lr_warmup_steps", "max_data_samples", "max_grad_norm",
+    "model_name", "nccl_timeout", "optimizer", "output_dir", "parallel_backend",
+    "pin_memory", "pp_degree", "precomputation_dir", "precomputation_items",
+    "precomputation_once", "precomputation_reuse", "pretrained_model_name_or_path",
+    "push_to_hub", "report_to", "resume_from_checkpoint", "revision", "seed",
+    "text_encoder_2_dtype", "text_encoder_2_id", "text_encoder_3_dtype",
+    "text_encoder_3_id", "text_encoder_dtype", "text_encoder_id", "tokenizer_2_id",
+    "tokenizer_3_id", "tokenizer_id", "tp_degree", "tracker_name", "train_steps",
+    "training_type", "transformer_dtype", "transformer_id", "vae_dtype", "vae_id",
+    "validation_dataset_file", "validation_steps", "variant", "verbose",
+    "weight_decay",
+]
+
+
+class TestReferenceFlagSuperset:
+    def test_every_reference_flag_parses(self):
+        import argparse
+
+        from finetrainers_tpu.args import _add_args
+
+        parser = argparse.ArgumentParser()
+        _add_args(parser)
+        AttentionProviderArgs().add_args(parser)
+        ours = {a.lstrip("-") for action in parser._actions for a in action.option_strings}
+        missing = sorted(set(REFERENCE_FLAGS) - ours)
+        assert not missing, f"reference CLI flags missing from BaseArgs: {missing}"
