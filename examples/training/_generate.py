@@ -191,6 +191,24 @@ RECIPES = [
         train_steps=5000, lr="5e-5", rank=32, target=ATTN,
     ),
     dict(
+        # Multi-resolution variant (reference: train_multires.sh in the same
+        # directory): the same dataset registered once per frame-count bucket.
+        # Each bucket compiles its own jitted step (static shapes); the bucketed
+        # jit cache in SFTTrainer reuses compilations across epochs.
+        path="sft/ltx_video/crush_smol_lora", suffix="_multires",
+        model_name="ltx_video",
+        pretrained="a-r-r-o-w/LTX-Video-diffusers", training_type="lora",
+        datasets=[dict(data_root="finetrainers/crush-smol", dataset_type="video",
+                       id_token="PIKA_CRUSH", video_resolution_buckets=[[f, 512, 768]],
+                       reshape_mode="bicubic", remove_common_llm_caption_prefixes=True)
+                  for f in (49, 81, 121, 161)],
+        validation=[vrow(c, f=f) for c, f in zip(CRUSH_CAPS, (49, 121))],
+        train_steps=7500, lr="5e-5", rank=32, target=ATTN,
+        shuffle_buffer=50, precomputation_items=200,
+        note="Four frame-count buckets -> four compiled step variants; precompute "
+             "covers all four copies of the dataset (reference bumps items 4x too).",
+    ),
+    dict(
         path="sft/wan/crush_smol_lora", model_name="wan",
         pretrained="Wan-AI/Wan2.1-T2V-1.3B-Diffusers", training_type="lora",
         datasets=[dict(data_root="finetrainers/crush-smol", dataset_type="video",
@@ -249,6 +267,10 @@ RECIPES = [
                        reshape_mode="bicubic", remove_common_llm_caption_prefixes=True)],
         validation=[vrow(c, video=False, h=528, w=960) for c in SIMPSONS_CAPS],
         train_steps=5000, lr="1e-5", rank=128, target=ATTN_TB,
+        readme="Webdataset smoke recipe (reference: the_simpsons/README.md): "
+               "verifies tar-shard webdataset loading and streaming from the "
+               "HF Hub; do not expect meaningful results. Dataset: "
+               "bigdata-pw/TheSimpsons.",
     ),
     dict(
         path="sft/flux_dev/raider_white_tarot", model_name="flux",
@@ -326,6 +348,7 @@ def main() -> None:
         recipe_dir = ROOT / r["path"]
         recipe_dir.mkdir(parents=True, exist_ok=True)
         rel = f"examples/training/{r['path']}"
+        sfx = r.get("suffix", "")
         extra = lora_extra(r["rank"], r["rank"], r["target"]) + r.get("control_extra", "")
         sh = TRAIN_SH.format(
             num_chips=r.get("num_chips", 8),
@@ -344,16 +367,19 @@ def main() -> None:
             warmup=max(r["train_steps"] // 10, 100),
             checkpointing_steps=max(r["train_steps"] // 5, 500),
             validation_steps=max(r["train_steps"] // 10, 500),
-            shuffle_buffer=10,
-            precomputation_items=50,
-            run_name=r["path"].replace("/", "-"),
+            shuffle_buffer=r.get("shuffle_buffer", 10),
+            precomputation_items=r.get("precomputation_items", 50),
+            run_name=r["path"].replace("/", "-") + sfx,
         )
+        if sfx:
+            sh = sh.replace(f"{rel}/training.json", f"{rel}/training{sfx}.json")
+            sh = sh.replace(f"{rel}/validation.json", f"{rel}/validation{sfx}.json")
         if "note" in r:
             sh = sh.replace("parallel_cmd=(", f"# {r['note']}\nparallel_cmd=(")
-        (recipe_dir / "train.sh").write_text(sh)
-        (recipe_dir / "train.sh").chmod(0o755)
-        (recipe_dir / "training.json").write_text(json.dumps({"datasets": r["datasets"]}, indent=2) + "\n")
-        (recipe_dir / "validation.json").write_text(json.dumps({"data": r["validation"]}, indent=2) + "\n")
+        (recipe_dir / f"train{sfx}.sh").write_text(sh)
+        (recipe_dir / f"train{sfx}.sh").chmod(0o755)
+        (recipe_dir / f"training{sfx}.json").write_text(json.dumps({"datasets": r["datasets"]}, indent=2) + "\n")
+        (recipe_dir / f"validation{sfx}.json").write_text(json.dumps({"data": r["validation"]}, indent=2) + "\n")
         if "readme" in r:
             title = r["path"].split("/")[-1].replace("_", " ")
             (recipe_dir / "README.md").write_text(f"# {title}\n\n{r['readme']}\n")
