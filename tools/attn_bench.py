@@ -72,11 +72,14 @@ def full_path(q, k, v, cos, sin, sq, sk, attn):
 
 
 VARIANTS = {}
+FWD_ONLY = set()  # variants timed without a backward (inference providers)
 
 
-def variant(name):
+def variant(name, fwd_only=False):
     def deco(fn):
         VARIANTS[name] = fn
+        if fwd_only:
+            FWD_ONLY.add(name)
         return fn
     return deco
 
@@ -91,6 +94,22 @@ def _v0(inputs):
 def _v1(inputs):
     q, k, v, cos, sin, sq, sk = inputs
     return full_path(q, k, v, cos, sin, sq, sk, own_flash)
+
+
+@variant("own_fwd_only", fwd_only=True)  # inference fwd: own bf16 flash kernel
+def _vf0(inputs):
+    q, k, v, *_ = inputs
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v)
+
+
+@variant("sage_fwd_only", fwd_only=True)  # inference fwd: int8 QK^T SageAttention
+def _vf1(inputs):
+    q, k, v, *_ = inputs
+    from finetrainers_tpu.ops.sage_attention import sage_attention
+
+    blk = int(os.environ.get("SAGE_BLOCK", "896"))
+    return sage_attention(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v,
+                          block_q=blk, block_kv=blk)
 
 
 @variant("intree_attn_only")
@@ -162,9 +181,15 @@ def run(name, fn, inputs):
         out = fn((q, *rest))
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    def step(q, rest):
-        l, dq = jax.value_and_grad(loss)(q, rest)
-        return dq.astype(q.dtype) * 1e-6 + q, l
+    if name in FWD_ONLY:
+        def step(q, rest):
+            out = fn((q, *rest))
+            l = jnp.sum(out.astype(jnp.float32) ** 2)
+            return out.reshape(q.shape).astype(q.dtype) * 1e-6 + q, l
+    else:
+        def step(q, rest):
+            l, dq = jax.value_and_grad(loss)(q, rest)
+            return dq.astype(q.dtype) * 1e-6 + q, l
 
     g = jax.jit(step, donate_argnums=(0,))
     q, *rest = inputs
@@ -178,7 +203,8 @@ def run(name, fn, inputs):
         q, l = g(q, rest)
     _ = np.asarray(l)
     ms = (time.perf_counter() - t0) / REPS * 1e3
-    print(f"{name:24s} {ms:8.2f} ms fwd+bwd   (compile {compile_s:.1f}s)", flush=True)
+    kind = "fwd-only" if name in FWD_ONLY else "fwd+bwd "
+    print(f"{name:24s} {ms:8.2f} ms {kind}  (compile {compile_s:.1f}s)", flush=True)
     return ms
 
 
