@@ -69,47 +69,83 @@ def ltx_train_step_flops(cfg: dict, lora_rank: int, remat_factor: float) -> floa
     return fwd * (2.0 + remat_factor)
 
 
-def _probe_devices(timeout_s: float = 180.0):
-    """Bounded backend probe. A dead remote-TPU tunnel makes jax.devices() hang
-    forever (not raise); a bench that hangs is worse than a bench that fails
-    fast, so probe in a daemon thread and exit(3) on timeout."""
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
+
+
+def _record_last_good(payload: dict) -> None:
+    try:
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump(payload, f)
+    except OSError:  # pragma: no cover - read-only fs
+        pass
+
+
+def _load_last_good() -> dict | None:
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _probe_devices(probe_timeout_s: float = 120.0, total_budget_s: float = 1500.0):
+    """Patient backend probe. A dead remote-TPU tunnel makes jax.devices() hang
+    forever (not raise). Round 4 lost its gate number to a transient tunnel
+    flap because the probe gave up after 60s x 2; MULTICHIP succeeded 7 minutes
+    later. So: probe in a fresh SUBPROCESS (jax caches a failed backend init
+    in-process, so retries must not share the interpreter) with exponential
+    backoff for up to ~25 minutes. On final failure, still print a parseable
+    JSON line carrying the last driver-captured good number.
+    """
+    import subprocess
     import sys
-    import threading
-
-    out: list = []
-
-    def _p():
-        import jax
-
-        try:
-            out.append(jax.devices())
-        except Exception as e:  # pragma: no cover - backend-specific
-            out.append(e)
-
     import time as _time
 
-    # One retry after a pause: the tunnel has transient blips distinct from its
-    # long outages, and the driver's round-end bench should survive the former.
-    for attempt in range(2):
-        t = threading.Thread(target=_p, daemon=True)
-        t.start()
-        t.join(timeout=timeout_s)
-        if not t.is_alive() and out and not isinstance(out[0], Exception):
-            return out[0]
-        if attempt == 0 and not t.is_alive():
-            # jax caches a failed backend init; a same-process retry cannot
-            # recover from an *exception* (only from a slow probe), so only
-            # the timed-out case is worth retrying after a pause.
+    deadline = _time.monotonic() + total_budget_s
+    sleep_s = 30.0
+    attempt = 0
+    last_err = "probe never ran"
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip().isdigit():
+                return int(r.stdout.strip())
+            last_err = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["probe failed"]
+            last_err = last_err[0]
+        except subprocess.TimeoutExpired:
+            last_err = f"probe timed out after {probe_timeout_s:.0f}s"
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
             break
-        if attempt == 0:
-            print("bench.py: device probe timed out; retrying once in 60 s", file=sys.stderr)
-            _time.sleep(60.0)
-            out.clear()
+        wait = min(sleep_s, remaining)
+        print(
+            f"bench.py: device probe attempt {attempt} failed ({last_err}); "
+            f"retrying in {wait:.0f}s ({remaining:.0f}s of budget left)",
+            file=sys.stderr,
+        )
+        _time.sleep(wait)
+        sleep_s = min(sleep_s * 2.0, 300.0)
+
     print(
-        f"bench.py: device backend unavailable (probe {'timed out' if t.is_alive() else out and out[0]}); "
-        "the TPU tunnel is likely down — retry later",
+        f"bench.py: device backend unavailable after {attempt} probes over "
+        f"{total_budget_s:.0f}s ({last_err}); the TPU tunnel is likely down",
         file=sys.stderr,
     )
+    failure = {
+        "metric": "train_step_throughput_ltx_video_lora_49x512x768",
+        "value": None,
+        "unit": "steps/sec/chip",
+        "vs_baseline": None,
+        "error": "tpu_unreachable",
+        "last_good": _load_last_good(),
+    }
+    print(json.dumps(failure))
     raise SystemExit(3)
 
 
@@ -305,7 +341,7 @@ def main() -> None:
         peak_hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2) or mem_gb
     except Exception:
         peak_hbm_gb = mem_gb
-    print(json.dumps({
+    payload = {
         "metric": "train_step_throughput_ltx_video_lora_49x512x768",
         "value": round(steps_per_sec, 5),
         "unit": "steps/sec/chip",
@@ -314,7 +350,9 @@ def main() -> None:
         "mfu_vs_v5e_peak": round(tflops * 1e12 / V5E_PEAK_FLOPS, 4),
         "peak_hbm_gb": peak_hbm_gb,
         "remat": checkpoint or "none",
-    }))
+    }
+    _record_last_good(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -178,6 +178,14 @@ def attention_dispatch(
                 f"attention dropout_p={dropout_p} needs dropout_rng= (explicit "
                 "JAX rng); flash providers do not support dropout"
             )
+        if q_segment_ids is not None:
+            # The math provider that implements dropout has no packed-segment
+            # masking; surfacing this as a TypeError on kwargs would silently
+            # suggest a provider bug rather than a capability gap (ADVICE r4).
+            raise NotImplementedError(
+                "attention dropout_p with packed q_segment_ids is not supported: "
+                "dropout routes to the math provider, which has no segment masking"
+            )
         name = "_native_math"
     fn = _AttentionProviderRegistry.get(name)
     if FINETRAINERS_ATTN_CHECKS:
@@ -267,8 +275,17 @@ def _xla_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv
     del dropout_p  # training dropout in attention is unused by all supported models
     if kv_lens is not None and attn_mask is None:
         attn_mask = _mask_from_kv_lens(kv_lens, key.shape[1])
+    mask, bias = None, None
+    if attn_mask is not None:
+        # torch SDPA (the reference `native` provider) accepts boolean OR
+        # additive-float masks; jax.nn.dot_product_attention splits these into
+        # mask= (bool) and bias= (added to logits).
+        if attn_mask.dtype == jnp.bool_:
+            mask = attn_mask
+        else:
+            bias = attn_mask
     return jax.nn.dot_product_attention(
-        query, key, value, mask=attn_mask, scale=scale, is_causal=is_causal,
+        query, key, value, bias=bias, mask=mask, scale=scale, is_causal=is_causal,
     )
 
 

@@ -366,11 +366,18 @@ def pipeline_blocks(
     # INSIDE the stage program — pp composes with tensor/context parallelism
     # without this primitive knowing their sharding rules.
     manual_axes = frozenset({axis}) | frozenset(dp)
-    auto_axes = frozenset(mesh.axis_names) - manual_axes
     if "check_vma" in _SHARD_MAP_KW:
         axes_kw = {"axis_names": manual_axes}
     else:  # pragma: no cover - legacy jax.experimental.shard_map
-        axes_kw = {"auto": auto_axes}
+        # UNVERIFIED on legacy shard_map: the ct/P epilogue rescale above
+        # assumes the modern axis_names transpose semantics; the legacy `auto=`
+        # path has never been gradient-parity-tested and a semantics difference
+        # there would silently scale grads by P (ADVICE r4). Fail loudly.
+        raise NotImplementedError(
+            "pipeline parallelism requires jax.shard_map with axis_names= "
+            "(jax >= 0.4.35); the legacy jax.experimental.shard_map 'auto=' "
+            "path is unverified for the pipeline cotangent rescale"
+        )
     fn = shard_map(
         stage_program,
         mesh=mesh,

@@ -435,6 +435,12 @@ def load_scheduler(pretrained_model_name_or_path: Optional[str], default):
     if name == "FlowMatchEulerDiscreteScheduler":
         return FlowMatchEulerScheduler(num_train_timesteps=num_train, shift=shift, use_dynamic_shifting=dyn)
     if name in ("CogVideoXDDIMScheduler", "DDIMScheduler"):
+        if not isinstance(default, CogVideoXDDIMScheduler):
+            # A DDIM scheduler config under a flow-matching family: the DDIM
+            # class has no inference_sigmas/make_sampler surface, so honoring
+            # the config would crash at validation — keep the family default
+            # instead (ADVICE r4).
+            return default
         return CogVideoXDDIMScheduler(
             num_train_timesteps=num_train,
             beta_start=float(cfg.get("beta_start", 0.00085)),

@@ -65,6 +65,21 @@ class TestProvidersForward:
             out.astype(jnp.float32), ref.astype(jnp.float32), atol=2e-2, rtol=1e-2
         )
 
+    def test_bf16_large_exponents(self):
+        """Bound the fuse_rowsum bf16 exponent rounding (ADVICE r4): the fused
+        path computes exp2 on a bf16-rounded exponent, whose ulp grows with
+        |s - m| (~0.06-0.125 beyond magnitude 8, i.e. up to ~9% relative error
+        on SMALL probabilities). Amplified queries push |s - m| to ~40 so this
+        regime is actually exercised; the error must stay bounded on the
+        OUTPUT (small probabilities contribute proportionally little)."""
+        q, k, v = _qkv(dtype=jnp.bfloat16)
+        q = (q.astype(jnp.float32) * 6.0).astype(jnp.bfloat16)  # logits ~ +-40
+        ref = attention_dispatch(q, k, v, provider="_native_math")
+        out = flash_attention(q, k, v)
+        np.testing.assert_allclose(
+            out.astype(jnp.float32), ref.astype(jnp.float32), atol=4e-2, rtol=2e-2
+        )
+
 
 class TestProvidersBackward:
     @pytest.mark.parametrize("provider", ["flash"])

@@ -358,8 +358,16 @@ class TestLoadScheduler:
 
     def test_ddim_config(self, tmp_path):
         path = self._write(tmp_path, {"_class_name": "CogVideoXDDIMScheduler", "snr_shift_scale": 1.0})
-        s = load_scheduler(path, default=FlowMatchEulerScheduler())
+        s = load_scheduler(path, default=CogVideoXDDIMScheduler())
         assert isinstance(s, CogVideoXDDIMScheduler) and s.snr_shift_scale == 1.0
+
+    def test_ddim_config_under_flow_family_falls_back(self, tmp_path):
+        """A DDIM scheduler config loaded by a flow-matching family keeps the
+        family default: CogVideoXDDIMScheduler lacks the inference_sigmas/
+        make_sampler surface flow pipelines call at validation (ADVICE r4)."""
+        path = self._write(tmp_path, {"_class_name": "DDIMScheduler"})
+        default = FlowMatchEulerScheduler(shift=2.0)
+        assert load_scheduler(path, default=default) is default
 
     def test_unknown_class_falls_back(self, tmp_path):
         path = self._write(tmp_path, {"_class_name": "SomeExoticScheduler"})
