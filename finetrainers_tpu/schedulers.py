@@ -187,8 +187,15 @@ def _flow_lambda(sigma: np.ndarray) -> np.ndarray:
 
 def _unipc_Rb(order: int, rks: np.ndarray, hh: float, solver_type: str):
     """The UniPC B(h) linear system (UniPC paper eq. 16-17 construction):
-    R[i-1] = rks**(i-1), b[i-1] = i! * phi_{i+1}(hh) * hh**? — built by the
-    published recurrence h_phi_{k+1} = h_phi_k / hh - 1/(k+1)!."""
+    R[i-1] = rks**(i-1), b[i-1] = i! * phi_{i+1}(hh) / B(h) — built by the
+    published recurrence h_phi_{k+1} = h_phi_k / hh - 1/(k+1)!.
+
+    The division by B_h is essential: the solved rhos are later multiplied
+    back by B_h in the update, so omitting it scales every SOLVED correction
+    term by an extra B_h ~ -h — an order-reducing bug this repo shipped until
+    round 5, invisible to the order-1/2 special cases (rhos=[0.5], which
+    bypass the solve) and caught by a convergence-slope test
+    (tests/test_schedulers.py::TestUniPCOrder3)."""
     R, b = [], []
     h_phi_1 = np.expm1(hh)
     h_phi_k = h_phi_1 / hh - 1.0
@@ -196,7 +203,7 @@ def _unipc_Rb(order: int, rks: np.ndarray, hh: float, solver_type: str):
     B_h = hh if solver_type == "bh1" else np.expm1(hh)
     for i in range(1, order + 1):
         R.append(rks ** (i - 1))
-        b.append(h_phi_k * fact)
+        b.append(h_phi_k * fact / B_h)
         fact *= i + 1
         h_phi_k = h_phi_k / hh - 1.0 / fact
     return np.stack(R), np.asarray(b), h_phi_1, B_h
@@ -217,6 +224,14 @@ def _uni_p_coeffs(sigmas: np.ndarray, i: int, order: int, solver_type: str = "bh
     lam_t, lam_s0 = _flow_lambda(sigma_t), _flow_lambda(sigma_s0)
     h = lam_t - lam_s0
     hh = -h  # predict_x0 convention
+    # History points at the lambda = +-inf grid ends (sigma exactly 1 or 0 —
+    # e.g. the first point of inference_sigmas) carry no usable multistep
+    # information: cap the effective order to the finite-lambda suffix instead
+    # of letting inf - inf = nan propagate through the solve (first reachable
+    # at order 3, the orders that bypass the rho solve stay finite by luck).
+    req_order = order
+    while order > 1 and not np.isfinite(_flow_lambda(sigmas[i - (order - 1)])):
+        order -= 1
     rks = np.asarray([(_flow_lambda(sigmas[i - k]) - lam_s0) / h for k in range(1, order)], np.float64)
     R, b, h_phi_1, B_h = _unipc_Rb(order, np.concatenate([rks, [1.0]]), hh, solver_type)
     if order == 1:
@@ -225,7 +240,7 @@ def _uni_p_coeffs(sigmas: np.ndarray, i: int, order: int, solver_type: str = "bh
         rhos_p = np.asarray([0.5])
     else:
         rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
-    coeffs = np.zeros(order + 1, np.float64)
+    coeffs = np.zeros(req_order + 1, np.float64)
     coeffs[0] = sigma_t / sigma_s0
     coeffs[1] = -alpha_t * h_phi_1
     for k in range(1, order):  # residual terms on D1s_k = (m_k - m0) / rks_k
@@ -249,13 +264,17 @@ def _uni_c_coeffs(sigmas: np.ndarray, i: int, order: int, solver_type: str = "bh
     lam_t, lam_s0 = _flow_lambda(sigma_t), _flow_lambda(sigma_s0)
     h = lam_t - lam_s0
     hh = -h
+    # Same finite-lambda order cap as _uni_p_coeffs (sigma = 1/0 history).
+    req_order = order
+    while order > 1 and not np.isfinite(_flow_lambda(sigmas[i - 1 - (order - 1)])):
+        order -= 1
     rks = np.asarray([(_flow_lambda(sigmas[i - 1 - k]) - lam_s0) / h for k in range(1, order)], np.float64)
     R, b, h_phi_1, B_h = _unipc_Rb(order, np.concatenate([rks, [1.0]]), hh, solver_type)
     if order == 1:
         rhos_c = np.asarray([0.5])
     else:
         rhos_c = np.linalg.solve(R, b)
-    coeffs = np.zeros(order + 2, np.float64)
+    coeffs = np.zeros(req_order + 2, np.float64)
     coeffs[0] = sigma_t / sigma_s0
     coeffs[1] = -alpha_t * h_phi_1
     for k in range(1, order):
@@ -263,7 +282,7 @@ def _uni_c_coeffs(sigmas: np.ndarray, i: int, order: int, solver_type: str = "bh
         coeffs[k + 1] += w
         coeffs[1] -= w
     w_t = -alpha_t * B_h * rhos_c[-1]  # on D1_t = x0_t - m0
-    coeffs[order + 1] = w_t
+    coeffs[req_order + 1] = w_t  # x0_t slot stays LAST in the caller's layout
     coeffs[1] -= w_t
     return coeffs
 

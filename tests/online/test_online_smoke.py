@@ -97,3 +97,81 @@ class TestPushToHub:
         url = push_to_hub(os.environ["FINETRAINERS_ONLINE_REPO"], str(tmp_path),
                           token=os.environ["HF_TOKEN"])
         assert url
+
+
+class TestSamplerTrajectoryParity:
+    """Step-for-step trajectory parity of the UniPC/DPM-Solver++ samplers vs
+    diffusers' schedulers (VERDICT r4 item 8). Lives in the online tier only
+    because diffusers is not installed in the zero-egress build image — no
+    network is actually needed once it is."""
+
+    def _trajectory_ours(self, sampler_cls, sigmas, preds, x0, **kw):
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.asarray(x0)
+        traj = []
+        samp = sampler_cls(np.asarray(sigmas), **kw)
+        for i in range(len(sigmas) - 1):
+            x = samp.update(jnp.asarray(preds[i]), i, x)
+            traj.append(np.asarray(x))
+        return traj
+
+    def test_unipc_matches_diffusers_flow(self):
+        diffusers = pytest.importorskip("diffusers")
+        import numpy as np
+        import torch
+
+        from finetrainers_tpu.schedulers import UniPCSampler
+
+        num_steps = 12
+        sched = diffusers.UniPCMultistepScheduler(
+            prediction_type="flow_prediction", use_flow_sigmas=True,
+            num_train_timesteps=1000, flow_shift=3.0, solver_order=2,
+        )
+        sched.set_timesteps(num_steps)
+        sigmas = np.asarray(sched.sigmas, np.float64)
+
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+        preds = [rng.standard_normal(x0.shape).astype(np.float32) for _ in range(num_steps)]
+
+        x_t = torch.from_numpy(x0)
+        ref_traj = []
+        for i, t in enumerate(sched.timesteps):
+            x_t = sched.step(torch.from_numpy(preds[i]), t, x_t).prev_sample
+            ref_traj.append(x_t.numpy())
+
+        ours = self._trajectory_ours(UniPCSampler, sigmas, preds, x0, solver_order=2)
+        for i, (a, b) in enumerate(zip(ours, ref_traj)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=f"step {i}")
+
+    def test_dpm_matches_diffusers_flow(self):
+        diffusers = pytest.importorskip("diffusers")
+        import numpy as np
+        import torch
+
+        from finetrainers_tpu.schedulers import DPMSolverSampler
+
+        num_steps = 12
+        sched = diffusers.DPMSolverMultistepScheduler(
+            prediction_type="flow_prediction", use_flow_sigmas=True,
+            num_train_timesteps=1000, flow_shift=3.0, solver_order=2,
+            algorithm_type="dpmsolver++",
+        )
+        sched.set_timesteps(num_steps)
+        sigmas = np.asarray(sched.sigmas, np.float64)
+
+        rng = np.random.default_rng(1)
+        x0 = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+        preds = [rng.standard_normal(x0.shape).astype(np.float32) for _ in range(num_steps)]
+
+        x_t = torch.from_numpy(x0)
+        ref_traj = []
+        for i, t in enumerate(sched.timesteps):
+            x_t = sched.step(torch.from_numpy(preds[i]), t, x_t).prev_sample
+            ref_traj.append(x_t.numpy())
+
+        ours = self._trajectory_ours(DPMSolverSampler, sigmas, preds, x0, solver_order=2)
+        for i, (a, b) in enumerate(zip(ours, ref_traj)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=f"step {i}")

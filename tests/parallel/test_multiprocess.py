@@ -138,6 +138,83 @@ class TestMultiProcess:
             rtol=1e-5, atol=0,
         )
 
+    def test_sigterm_preemption_checkpoint_and_resume(self, tmp_path, tiny_dataset):
+        """SIGTERM one of the two jax.distributed workers mid-run: the
+        collective agreement (`--checkpoint_on_preemption`, trainer
+        _preemption_agreed) must pull BOTH ranks into a checkpoint save, both
+        exit clean, and the resumed run is bit-identical to a straight run of
+        the same length (VERDICT r4 item 6 — this path was single-process-only
+        before)."""
+        import signal
+        import time
+
+        outdir = tmp_path / "res_preempt"
+        run_dir = tmp_path / "run_preempt"
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = []
+        for pid in range(2):
+            cmd = [
+                sys.executable, str(WORKER),
+                "--process-id", str(pid), "--num-processes", "2",
+                "--port", str(port), "--outdir", str(outdir),
+                "--dataset-config", tiny_dataset, "--output-dir", str(run_dir),
+                "--train-steps", "200",  # far beyond what runs before the signal
+                "--checkpointing-steps", "1000",  # cadence never fires
+                "--checkpoint-on-preemption",
+            ]
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=str(REPO_ROOT),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+
+        # Wait until rank 0's JSONL tracker shows a completed step (the SIGTERM
+        # handler is installed at _train entry, before step 1) — then preempt
+        # ONE rank only; the other must be dragged in by the collective.
+        log_path = run_dir / "logs" / "finetrainers.jsonl"
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            if log_path.exists() and log_path.read_text().count("\n") >= 2:
+                break
+            if any(p.poll() is not None for p in procs):
+                break  # a worker died early; fall through to the asserts
+            time.sleep(0.1)
+        else:
+            pytest.fail("no training step was logged within 600s")
+        procs[0].send_signal(signal.SIGTERM)
+
+        outputs = [p.communicate(timeout=900)[0] for p in procs]
+        for p, out in zip(procs, outputs):
+            assert p.returncode == 0, f"worker {p.args} failed:\n{out[-4000:]}"
+        results = []
+        for pid in range(2):
+            path = pathlib.Path(outdir) / f"result_{pid}.json"
+            assert path.exists(), f"worker {pid} wrote no result:\n{outputs[pid][-4000:]}"
+            results.append(json.loads(path.read_text()))
+
+        n = results[0]["final_step"]
+        assert 0 < n < 200, f"run was not preempted (final_step={n})"
+        assert results[1]["final_step"] == n
+        # Both ranks participated in the collective save of the preemption
+        # checkpoint (a single-rank save would hang, but assert the artifact).
+        assert f"finetrainers_step_{n}" in results[0]["checkpoints"]
+        assert results[0]["losses"] == results[1]["losses"]
+
+        # Resume past the preemption point, then compare against a straight
+        # run of the same total length: bit-identical data order + RNG.
+        resumed = _launch(tmp_path / "res_preempt2", tiny_dataset, run_dir,
+                          train_steps=n + 2, checkpointing_steps=1000, resume=True)
+        assert resumed[0]["final_step"] == n + 2
+        straight = _launch(tmp_path / "res_preempt_straight", tiny_dataset,
+                           tmp_path / "run_preempt_straight",
+                           train_steps=n + 2, checkpointing_steps=1000)
+        np.testing.assert_allclose(
+            np.asarray(resumed[0]["losses"][-2:]),
+            np.asarray(straight[0]["losses"][-2:]),
+            rtol=1e-5, atol=0,
+        )
+
     def test_observed_data_samples_accounting(self, tmp_path, tiny_dataset):
         results = _launch(tmp_path / "res_acct", tiny_dataset,
                           tmp_path / "run_acct", train_steps=2,

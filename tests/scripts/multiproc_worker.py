@@ -30,6 +30,7 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp-shards", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--checkpoint-on-preemption", action="store_true")
     args = p.parse_args()
 
     # Environment must be pinned BEFORE jax initializes its backend.
@@ -93,6 +94,8 @@ def main() -> None:
     ]
     if args.resume:
         argv += ["--resume_from_checkpoint", "latest"]
+    if args.checkpoint_on_preemption:
+        argv += ["--checkpoint_on_preemption"]
     trainer = train.main(argv)
     ts = trainer.state.train_state
     result["final_step"] = int(ts.step)

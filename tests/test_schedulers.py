@@ -172,10 +172,12 @@ class TestUniPCCoefficients:
         # with b1 = h_phi_1/hh - 1 and b2 = 2*(b1/hh - 1/2), hh = -log4.
         hh = -np.log(4.0)
         h_phi_1 = np.expm1(hh)
-        b1 = h_phi_1 / hh - 1.0
-        b2 = 2.0 * (b1 / hh - 0.5)
+        B_h = h_phi_1  # bh2; the b vector is divided by it (diffusers uni_c)
+        k1 = h_phi_1 / hh - 1.0
+        b1 = k1 / B_h
+        b2 = 2.0 * (k1 / hh - 0.5) / B_h
         rho1, rho2 = (b1 - b2) / 2.0, (b1 + b2) / 2.0
-        alpha_t, B_h = 0.8, h_phi_1
+        alpha_t = 0.8
         w1 = -alpha_t * B_h * rho1 / (-1.0)   # on (m1 - m0)
         wt = -alpha_t * B_h * rho2            # on (x0_t - m0)
         want = [0.4, -alpha_t * h_phi_1 - w1 - wt, w1, wt]
@@ -207,6 +209,134 @@ class TestUniPCCoefficients:
         np.testing.assert_allclose(c, [0.6, 1.0 - 0.6], atol=1e-12)
         assert np.all(np.isfinite(_uni_c_coeffs(sig, i=1, order=1)))
         assert np.all(np.isfinite(_dpm_coeffs(sig, i=0, order=1)))
+
+
+class TestUniPCOrder3:
+    """Order-3 coefficients on the clean grid lambda = k*log4 (VERDICT r4
+    item 8): sigmas [16/17, 0.8, 0.5, 0.2, 1/17] give lambdas [-2L, -L, 0, L, 2L]
+    with L = log4, so every rk is exactly -1 or -2. The expected values are
+    derived IN-TEST from the published UniPC construction (paper eq. 16-17:
+    R[i] = rks**i, b via the h_phi recurrence), independently of
+    schedulers._unipc_Rb."""
+
+    def test_predictor_order3_bh2(self):
+        sig = np.asarray([0.8, 0.5, 0.2, 1.0 / 17.0])
+        lam = np.log((1.0 - sig) / sig)
+        h = lam[3] - lam[2]
+        hh = -h
+        alpha_t = 1.0 - sig[3]
+        rks = np.asarray([(lam[1] - lam[2]) / h, (lam[0] - lam[2]) / h])
+        np.testing.assert_allclose(rks, [-1.0, -2.0], atol=1e-12)  # clean grid
+        h_phi_1 = np.expm1(hh)
+        B_h = h_phi_1  # bh2
+        k1 = h_phi_1 / hh - 1.0
+        b1 = k1 / B_h
+        b2 = 2.0 * (k1 / hh - 0.5) / B_h
+        rhos = np.linalg.solve(np.asarray([[1.0, 1.0], rks]), [b1, b2])
+        w1 = -alpha_t * B_h * rhos[0] / rks[0]
+        w2 = -alpha_t * B_h * rhos[1] / rks[1]
+        want = [sig[3] / sig[2], -alpha_t * h_phi_1 - w1 - w2, w1, w2]
+        c = _uni_p_coeffs(sig, i=2, order=3)
+        np.testing.assert_allclose(c, want, atol=1e-12)
+
+    def test_corrector_order3(self):
+        sig = np.asarray([16.0 / 17.0, 0.8, 0.5, 0.2])
+        lam = np.log((1.0 - sig) / sig)
+        i = 3  # corrects 0.5 -> 0.2 with history at 0.5, 0.8, 16/17
+        h = lam[i] - lam[i - 1]
+        hh = -h
+        alpha_t = 1.0 - sig[i]
+        rks = np.asarray([(lam[i - 2] - lam[i - 1]) / h, (lam[i - 3] - lam[i - 1]) / h])
+        np.testing.assert_allclose(rks, [-1.0, -2.0], atol=1e-12)
+        rks_full = np.concatenate([rks, [1.0]])
+        h_phi_1 = np.expm1(hh)
+        B_h = h_phi_1  # bh2; b is divided by it (diffusers uni_c construction)
+        k1 = h_phi_1 / hh - 1.0
+        k2 = k1 / hh - 0.5
+        k3 = k2 / hh - 1.0 / 6.0
+        b = np.asarray([k1, 2.0 * k2, 6.0 * k3]) / B_h
+        R = np.stack([rks_full**0, rks_full**1, rks_full**2])
+        rhos = np.linalg.solve(R, b)
+        w1 = -alpha_t * B_h * rhos[0] / rks[0]
+        w2 = -alpha_t * B_h * rhos[1] / rks[1]
+        wt = -alpha_t * B_h * rhos[2]
+        want = [sig[i] / sig[i - 1], -alpha_t * h_phi_1 - w1 - w2 - wt, w1, w2, wt]
+        c = _uni_c_coeffs(sig, i=i, order=3)
+        np.testing.assert_allclose(c, want, atol=1e-12)
+
+    def test_lower_order_final_ramp(self):
+        """Order ramps up with history and back down at the tail so the final
+        step is the exact order-1 sigma->0 limit (diffusers UniPC
+        lower_order_final semantics)."""
+        from finetrainers_tpu.schedulers import UniPCSampler
+
+        sigmas = np.linspace(1.0, 0.0, 8)  # 7 steps
+        s = UniPCSampler(sigmas, solver_order=3)
+        x = jnp.zeros((2, 2))
+        orders = []
+        for i in range(7):
+            x = s.update(jnp.ones((2, 2)) * 0.1, i, x)
+            orders.append(s.this_order)
+        assert orders == [1, 2, 3, 3, 3, 2, 1]
+
+    def test_order3_finite_on_real_inference_grid(self):
+        """Regression: inference_sigmas starts at sigma = 1.0 exactly, where
+        lambda = log((1-s)/s) = -inf. The order-3 predictor's first activation
+        (step 2) reaches that history point; without the finite-lambda order
+        cap the rho solve produced NaNs that poisoned the whole trajectory
+        (orders 1/2 bypass the solve and never saw it). Caught by driving the
+        full sampler over a real grid rather than clean test sigmas."""
+        from finetrainers_tpu.schedulers import UniPCFlowScheduler
+
+        sched = UniPCFlowScheduler(shift=3.0, solver_order=3)
+        sigmas = np.asarray(sched.inference_sigmas(20))
+        assert sigmas[0] == 1.0  # the precondition that triggers the bug
+        samp = sched.make_sampler(sigmas)
+        x = jnp.ones((1, 4, 8, 8))
+        for i in range(len(sigmas) - 1):
+            x = samp.update(jnp.sin(x * (i + 1)), i, x)
+        assert np.isfinite(np.asarray(x)).all()
+        # The padded-coefficient contract: requesting order 3 at a step whose
+        # deepest history lambda is -inf returns order-3-shaped coefficients
+        # with zero weight on the unusable slot.
+        c = _uni_p_coeffs(sigmas, i=2, order=3)
+        assert c.shape == (4,) and np.isfinite(c).all() and c[3] == 0.0
+        cc = _uni_c_coeffs(sigmas, i=3, order=3)
+        assert cc.shape == (5,) and np.isfinite(cc).all() and cc[3] == 0.0
+
+    def test_corrected_update_is_high_order_on_smooth_flow(self):
+        """Functional order check on a smooth nonlinear x0(lambda) flow: the
+        predictor-corrector at orders 2 and 3 must beat Euler by a LARGE
+        factor (>=20x at 20 steps). This is the test that caught the missing
+        /B_h in the solved-rho construction: with that bug the corrector
+        degraded UniPC to Euler-grade first-order error (ratio ~1.04)."""
+        from finetrainers_tpu.schedulers import UniPCSampler, _EulerSampler
+
+        # Exact solution: x(sigma) = (1 - sigma) * c + sigma**3, so the flow
+        # velocity v = dx/dsigma = -c + 3 sigma^2 gives a sigma-dependent
+        # (nonlinear-in-lambda) x0 trajectory the multistep history must fit.
+        c = 0.7
+
+        def x_exact(s):
+            return (1.0 - s) * c + s**3
+
+        def v(x, s):
+            return -c + 3.0 * s**2
+
+        sigmas = np.linspace(0.8, 0.1, 21)  # away from the singular lambda ends
+
+        def run(sampler):
+            x = jnp.asarray([[x_exact(sigmas[0])]])
+            for i in range(len(sigmas) - 1):
+                pred = jnp.asarray([[v(float(x[0, 0]), sigmas[i])]])
+                x = sampler.update(pred, i, x)
+            return abs(float(x[0, 0]) - x_exact(sigmas[-1]))
+
+        e_euler = run(_EulerSampler(sigmas))
+        e2 = run(UniPCSampler(sigmas, solver_order=2))
+        e3 = run(UniPCSampler(sigmas, solver_order=3))
+        assert e2 < e_euler / 20, (e2, e_euler)
+        assert e3 < e_euler / 20, (e3, e_euler)
 
 
 class TestMultistepSamplers:
@@ -301,7 +431,7 @@ class TestMultistepSamplers:
         R, b = [], []
         for i in range(1, 3):
             R.append(rks ** (i - 1))
-            b.append(h_phi_k * fact)
+            b.append(h_phi_k * fact / B_h)  # diffusers divides b by B_h
             fact *= i + 1
             h_phi_k = h_phi_k / hh - 1 / fact
         rhos_c = np.linalg.solve(np.stack(R), np.asarray(b))
