@@ -467,21 +467,32 @@ def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, k
     shape: the in-tree dq pass materializes a (B,N,S,block_k) fp32 di broadcast,
     ~300MB at LTX scale), with fused in-kernel RoPE when tables are provided.
     XLA fused otherwise (short/cross attention, CPU meshes, GQA, dense masks)."""
+    sq, skv = query.shape[1], key.shape[1]
     use_kernel = (
         jax.default_backend() == "tpu"
         and attn_mask is None
         and query.shape[2] == key.shape[2]
-        and query.shape[1] == key.shape[1]
-        and query.shape[1] >= 2048
+        and sq >= 2048
+        # Long-q CROSS-attention also routes through the kernel once the f32
+        # score tensor XLA materializes (N*Sq*Skv*4B) stops being cache-sized:
+        # at the Wan shape (12 heads, 19968 q x 512 text kv) the fused-XLA
+        # path's f32 softmax fusions cost ~320 ms/step (xplane, docs/perf.md
+        # round-5 Wan breakdown) vs ~2.6 ms of MXU floor. Short-kv cross
+        # attention (e.g. LTX's 226-token captions) stays on XLA fused, which
+        # wins when the whole score tile fits VMEM-resident fusions.
+        and (skv == sq or skv >= 384)
     )
     if use_kernel:
         from .flash_attention import flash_attention
 
-        block = _pick_padded_flash_block(query.shape[1])
+        block = _pick_padded_flash_block(sq)
+        block_kv = block if skv == sq else (
+            _pick_flash_block(skv) or _pick_padded_flash_block(skv)
+        )
         cos, sin = rope_freqs if rope_freqs is not None else (None, None)
         return flash_attention(
             query, key, value, kv_lens=kv_lens, causal=is_causal, scale=scale,
-            block_q=block, block_kv=block, rope_cos=cos, rope_sin=sin,
+            block_q=block, block_kv=block_kv, rope_cos=cos, rope_sin=sin,
         )
     if rope_freqs is not None:
         query = _rotate_interleaved_4d(query, *rope_freqs)

@@ -32,6 +32,7 @@ the framework; transposes at the boundary fuse into the surrounding projections.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -118,6 +119,7 @@ def _fwd_kernel(
     has_kv_lens: bool,
     cache_rope: bool,
     fuse_rowsum: bool,
+    two_level: bool,
     block_q: int,
     block_kv: int,
     q_seq_len: int,
@@ -224,6 +226,24 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
         v = v_ref[0, 0]  # (bkv, H) — or (bkv, 128) ones-augmented (fuse_rowsum)
+        if two_level and fuse_rowsum:
+            # Two-level online softmax (round-4 verdict experiment): exponentiate
+            # against the BLOCK-LOCAL max, so the full-tile exp2 sweep and the
+            # P@V matmul depend only on this tile's scores — the cross-tile
+            # running max enters via per-row scalars (alpha on acc, beta on pv)
+            # after the matmul. Sweep count: same full-tile exp2 + rowmax, PLUS
+            # one extra (bq, 128) beta multiply — the win, if any, must come
+            # from the shortened serial dependency, not fewer sweeps.
+            p = jnp.exp2((s - m_cur).astype(v.dtype))
+            if mask is not None:
+                p = jnp.where(mask, p, jnp.zeros_like(p))
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            beta = jnp.exp2(m_cur - m_new)
+            acc_scr[:] = acc_scr[:] * alpha + pv * beta
+            m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+            return
         if fuse_rowsum:
             # Every full-tile VPU pass here is an issue-slot pass the MXU
             # cannot hide (the kernels are vector-issue-bound at short S):
@@ -242,6 +262,26 @@ def _fwd_kernel(
             )  # (bq, 128) f32: [:H] = P@V, [H] = rowsum(P)
             acc_scr[:] = acc_scr[:] * alpha + pv
             m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+            return
+        if two_level:
+            # Two-level online softmax, no-rowsum-fusion variant (head_dim 128
+            # — the Wan/Flux regime): exponentiate against the BLOCK-LOCAL max
+            # so the exp2 sweep, the rowsum, and the P@V matmul depend only on
+            # this tile's scores; the cross-tile running max enters via the
+            # per-row alpha/beta scalars afterwards. Shortens the serial
+            # m_prev -> exp2 dependency the straight recurrence carries.
+            p = jnp.exp2(s - m_cur)
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
+            beta = jnp.exp2(m_cur - m_new)
+            l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True) * beta
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[:] = acc_scr[:] * alpha + pv * beta
+            m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+            l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
             return
         p = jnp.exp2(s - m_new)  # (bq, bkv)
         if mask is not None:
@@ -291,6 +331,171 @@ def _fwd_kernel(
         # (bq, 1) -> (1, bq) transpose is an 8 KB VPU shuffle.
         lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)  # (bq, 1)
         lse_row = jax.lax.transpose(lse, (1, 0))  # (1, bq)
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row, lse_ref.shape[2:]).astype(lse_ref.dtype)
+
+
+def _fwd_kernel_skew(
+    kv_lens_ref,  # scalar prefetch: (B,) int32
+    blockmap_ref,  # scalar prefetch: unused here (no dense-mask support)
+    q_ref,  # (1, 1, bq, H)
+    k_ref,  # (1, 1, bkv, H) — tile min(j, nkv-1)
+    v_ref,  # (1, 1, bkv, 128|H) — tile clip(j-1, 0, nkv-1) (the PROCESSED tile)
+    *rest,
+    scale: float,
+    has_segments: bool,
+    has_rope: bool,
+    has_kv_lens: bool,
+    cache_rope: bool,
+    fuse_rowsum: bool,
+    block_q: int,
+    block_kv: int,
+    q_seq_len: int,
+    kv_seq_len: int,
+):
+    """Software-pipelined ("skewed") forward — the VPU/MXU overlap experiment.
+
+    The straight kernel's per-tile chain is serial: s = q@kT (MXU) -> softmax
+    sweeps (VPU) -> p@v (MXU); at short S the VPU sweeps are ~the MXU time and
+    the units idle alternately. Here grid iteration j ISSUES tile j's score
+    matmul and, in the SAME scheduling region, runs the softmax of tile j-1's
+    scores out of a double-buffered VMEM scratch — the two chains share no
+    data, so Mosaic's scheduler may interleave them and the hardware overlap
+    the MXU drain with the VPU sweep. The kv grid runs nkv+1 iterations (the
+    +1 drains the last tile); k/v index maps are clamped so the revisit costs
+    no extra HBM fetch. Iteration 0 "processes" a dummy tile pre-filled with
+    2*_NEG_INF: exp2(dummy - m) underflows to exactly 0 and alpha = exp2(0) = 1,
+    so the no-op needs no predicate inside the hot region.
+
+    Causal/dense-mask block skipping stays on the straight kernel (a skipped
+    store would desync the two-slot pipeline)."""
+    rest = list(rest)
+    q_seg_ref = kv_seg_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_segments:
+        q_seg_ref, kv_seg_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+        rest = rest[4:]
+    *rest, s_scr = rest  # s double-buffer is declared LAST in scratch_shapes
+    if cache_rope:
+        *rest, qrot_scr, krot_scr = rest
+    if fuse_rowsum:
+        o_ref, lse_ref, m_scr, acc_scr = rest
+        l_scr = None
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv = pl.num_programs(3) - 1  # final iteration is drain-only
+    masked = has_kv_lens or has_segments
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        if l_scr is not None:
+            l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        # Dummy prev-tile: far below the m floor so exp2(s - m) == 0 exactly.
+        s_scr[1] = jnp.full_like(s_scr[1], 2.0 * _NEG_INF)
+
+    qscale = scale * _LOG2E
+
+    if cache_rope:
+        @pl.when(j == 0)
+        def _rot_q():
+            qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
+            qrot_scr[:] = (qr * qscale).astype(qrot_scr.dtype)
+
+        @pl.when(jnp.logical_and(qi == 0, j < num_kv))
+        def _rot_k():
+            kr = _rope_fwd(k_ref[0, 0].astype(jnp.float32), cos_k_ref[0], sin_k_ref[0])
+            krot_scr[pl.ds(j * block_kv, block_kv), :] = kr.astype(krot_scr.dtype)
+
+    kv_len = kv_lens_ref[b]
+
+    def _process(prev_slot):
+        """Online-softmax step for the tile stored in s_scr[prev_slot]; v_ref
+        holds that tile's V. Reads NOTHING the current iteration's score
+        matmul produces."""
+        s_prev = s_scr[prev_slot]
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s_prev, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        v = v_ref[0, 0]
+        if fuse_rowsum:
+            p = jnp.exp2((s_prev - m_new).astype(v.dtype))
+            if masked:
+                # Fully-invalid rows keep p = exp2(_NEG_INF - _NEG_INF) = 1;
+                # recover the mask from the stored scores.
+                p = jnp.where(s_prev > 0.5 * _NEG_INF, p, jnp.zeros_like(p))
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc_scr[:] = acc_scr[:] * alpha + pv
+            m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+            return
+        p = jnp.exp2(s_prev - m_new)
+        if masked:
+            p = jnp.where(s_prev > 0.5 * _NEG_INF, p, 0.0)
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j < num_kv)
+    def _main():
+        # --- MXU: scores for tile j (independent of the processing below).
+        if cache_rope:
+            q = qrot_scr[:]
+            k = krot_scr[pl.ds(j * block_kv, block_kv), :]
+        else:
+            q = q_ref[0, 0]
+            k = k_ref[0, 0]
+            if has_rope:
+                q = (_rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]) * qscale).astype(q.dtype)
+                k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+            else:
+                q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # --- VPU: softmax of tile j-1 (dummy no-op at j == 0).
+        _process((j + 1) % 2)
+        # --- store tile j's (masked) scores for the next iteration.
+        mask = None
+        if has_kv_lens:
+            col = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len
+        if q_seg_ref is not None:
+            seg_q = q_seg_ref[0, :, :1]
+            seg_kv = kv_seg_ref[0, :1, :]
+            sm = seg_q == seg_kv
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        s_scr[j % 2] = s
+
+    @pl.when(j == num_kv)
+    def _drain_emit():
+        _process((j + 1) % 2)
+        if fuse_rowsum:
+            head_dim = o_ref.shape[-1]
+            l = acc_scr[:, head_dim:head_dim + 1]
+        else:
+            l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        if fuse_rowsum:
+            o_ref[0, 0] = (acc_scr[:, :o_ref.shape[-1]] / l_safe).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+        lse_row = jax.lax.transpose(lse, (1, 0))
         lse_ref[0, 0] = jnp.broadcast_to(lse_row, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
@@ -352,14 +557,42 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
     if kv_lens is None:
         kv_lens = jnp.full((batch,), kv_len, dtype=jnp.int32)
 
-    grid = (batch, num_heads, q_pad // block_q, kv_pad // block_kv)
+    num_kv_blocks = kv_pad // block_kv
+    # Skewed (software-pipelined) forward: overlap tile j's score matmul with
+    # tile j-1's softmax sweep. Opt-in experiment; see _fwd_kernel_skew.
+    # Measured on v5e (tools/attn_bench.py, S=2688 flagship shape): skew is
+    # SLOWER than the straight kernel (2.67 vs 2.61 ms fwd-only) — Mosaic
+    # already overlaps the straight kernel's per-tile chains well enough that
+    # the extra s-scratch traffic costs more than the explicit overlap buys —
+    # and the rope-cache composition miscompiles (TPU backend INTERNAL), so
+    # the experiment is additionally gated off rope. Kept for the record;
+    # docs/perf.md "Tried and rejected".
+    use_skew = (
+        os.environ.get("FINETRAINERS_FLASH_SKEW", "0") == "1"
+        and not causal and not has_mask and not has_rope
+    )
+    grid = (batch, num_heads, q_pad // block_q, num_kv_blocks + (1 if use_skew else 0))
+    if use_skew:
+        last_kv = num_kv_blocks - 1
+        kmap = lambda j: jnp.minimum(j, last_kv)  # noqa: E731
+        vmap_ = lambda j: jnp.clip(j - 1, 0, last_kv)  # noqa: E731
+    else:
+        kmap = vmap_ = lambda j: j  # noqa: E731
 
     # Cache rotated q/k tiles in VMEM scratch when the grid revisits them and
     # the rotated-K cache stays small (<= ~1MB); causal/masked paths may skip
     # the writer cells, so they rotate inline instead.
+    # Cache cap: 1 MB was tuned for the LTX shape (344 KB cache); the Wan
+    # H=128 long-S shape needs ~5.2 MB, which still fits VMEM next to 768
+    # blocks and removes a per-(qi,kj) k-tile re-rotation sweep (fwd −8.3%
+    # measured at the Wan shape, docs/perf.md r5). The budget is COMBINED with
+    # the (bq, bkv) f32 score temp: the same 5.2 MB cache that compiles at 768
+    # blocks (7.6 MB total) fails Mosaic's VMEM allocation at 1024 (9.2 MB).
+    rope_cache_cap = int(os.environ.get("FINETRAINERS_ROPE_CACHE_MB", "6")) << 20
     cache_rope = (
         has_rope and not has_mask and not causal and not has_segments
-        and kv_pad * head_dim * q.dtype.itemsize <= 1 << 20
+        and kv_pad * head_dim * q.dtype.itemsize <= rope_cache_cap
+        and kv_pad * head_dim * q.dtype.itemsize + block_q * block_kv * 4 <= 8 << 20
     )
     # Rowsum-via-MXU: when head_dim leaves a free lane (< 128), augment V with
     # a ones column at lane H so the PV matmul also produces the softmax
@@ -376,32 +609,48 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         ones_col = jnp.zeros((batch, num_heads, kv_pad, 128 - head_dim), v.dtype)
         ones_col = ones_col.at[..., 0].set(1.0)
         v = jnp.concatenate([v, ones_col], axis=-1)
-    kernel = functools.partial(
-        _fwd_kernel,
-        scale=scale,
-        causal=causal,
-        has_segments=has_segments,
-        has_mask=has_mask,
-        has_rope=has_rope,
-        has_kv_lens=has_kv_lens,
-        cache_rope=cache_rope,
-        fuse_rowsum=fuse_rowsum,
-        block_q=block_q,
-        block_kv=block_kv,
-        q_seq_len=q_len,
-        kv_seq_len=kv_len,
-    )
+    if use_skew:
+        kernel = functools.partial(
+            _fwd_kernel_skew,
+            scale=scale,
+            has_segments=has_segments,
+            has_rope=has_rope,
+            has_kv_lens=has_kv_lens,
+            cache_rope=cache_rope,
+            fuse_rowsum=fuse_rowsum,
+            block_q=block_q,
+            block_kv=block_kv,
+            q_seq_len=q_len,
+            kv_seq_len=kv_len,
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_kernel,
+            scale=scale,
+            causal=causal,
+            has_segments=has_segments,
+            has_mask=has_mask,
+            has_rope=has_rope,
+            has_kv_lens=has_kv_lens,
+            cache_rope=cache_rope,
+            fuse_rowsum=fuse_rowsum,
+            two_level=os.environ.get("FINETRAINERS_FLASH_TWOLEVEL", "0") == "1",
+            block_q=block_q,
+            block_kv=block_kv,
+            q_seq_len=q_len,
+            kv_seq_len=kv_len,
+        )
     in_specs = [
         pl.BlockSpec((1, 1, block_q, head_dim), lambda b, n, i, j, *_: (b, n, i, 0)),
-        pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, j, 0)),
-        pl.BlockSpec((1, 1, block_kv, v_width), lambda b, n, i, j, *_: (b, n, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, head_dim), lambda b, n, i, j, *_: (b, n, kmap(j), 0)),
+        pl.BlockSpec((1, 1, block_kv, v_width), lambda b, n, i, j, *_: (b, n, vmap_(j), 0)),
     ]
     operands = [q, k, v]
     if has_segments:
         q_seg_b, kv_seg_b = _broadcast_segments(q_seg, kv_seg, q_pad, kv_pad)
         in_specs += [
             pl.BlockSpec((1, block_q, 128), lambda b, n, i, j, *_: (b, i, 0)),
-            pl.BlockSpec((1, 8, block_kv), lambda b, n, i, j, *_: (b, 0, j)),
+            pl.BlockSpec((1, 8, block_kv), lambda b, n, i, j, *_: (b, 0, kmap(j))),
         ]
         operands += [q_seg_b, kv_seg_b]
     if has_mask:
@@ -441,7 +690,9 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
             ]) + ([
                 pltpu.VMEM((block_q, head_dim), q.dtype),
                 pltpu.VMEM((kv_pad, head_dim), k.dtype),
-            ] if cache_rope else []),
+            ] if cache_rope else []) + ([
+                pltpu.VMEM((2, block_q, block_kv), jnp.float32),  # s double-buffer
+            ] if use_skew else []),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((batch, num_heads, q_pad, head_dim), q.dtype),

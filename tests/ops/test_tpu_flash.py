@@ -98,3 +98,88 @@ def test_tagged_residuals_skip_fwd_replay_under_remat():
     jaxpr_plain = str(jax.make_jaxpr(jax.grad(jax.checkpoint(f_p, policy=policy)))(q))
     assert jaxpr_tagged.count("pallas_call") == 3
     assert jaxpr_plain.count("pallas_call") == 4
+
+
+class TestForwardKernelVariants:
+    """The env-gated forward-kernel experiments must stay bit-identical to the
+    straight kernel (interpret mode here; measured on-chip via
+    tools/attn_bench.py — docs/perf.md records the accept/reject numbers).
+
+    - FINETRAINERS_FLASH_SKEW: software-pipelined forward (tile j's score
+      matmul issued alongside tile j-1's softmax sweep; +1 drain iteration).
+    - FINETRAINERS_FLASH_TWOLEVEL: block-local-max softmax, cross-tile stats
+      combined per-row after the P@V matmul.
+    """
+
+    VARIANTS = ["FINETRAINERS_FLASH_SKEW", "FINETRAINERS_FLASH_TWOLEVEL"]
+
+    def _run(self, monkeypatch, env, H=64, **kw):
+        from finetrainers_tpu.ops.flash_attention import flash_attention
+
+        for name in self.VARIANTS:
+            monkeypatch.delenv(name, raising=False)
+        if env:
+            monkeypatch.setenv(env, "1")
+        rng = np.random.RandomState(7)
+        B, S, N = 2, 40, 3
+        q = jnp.asarray(rng.randn(B, S, N, H), jnp.float32)
+        k = jnp.asarray(rng.randn(B, S, N, H), jnp.float32)
+        v = jnp.asarray(rng.randn(B, S, N, H), jnp.float32)
+
+        def loss(q):
+            return jnp.sum(flash_attention(q, k, v, block_q=16, block_kv=16, **kw) ** 2)
+
+        out = flash_attention(q, k, v, block_q=16, block_kv=16, **kw)
+        return np.asarray(out), np.asarray(jax.grad(loss)(q))
+
+    @pytest.mark.parametrize("env", VARIANTS)
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"kv_lens": jnp.asarray([33, 17], jnp.int32)},
+            # H=128 disables fuse_rowsum: exercises the two-level
+            # l-bookkeeping branch (the Wan/Flux head-dim regime).
+            {"H": 128},
+            {"H": 128, "kv_lens": jnp.asarray([33, 17], jnp.int32)},
+        ],
+        ids=["plain", "kv_lens", "h128", "h128_kv_lens"],
+    )
+    def test_matches_straight_kernel(self, monkeypatch, env, kw):
+        out, grad = self._run(monkeypatch, env, **kw)
+        ref_out, ref_grad = self._run(monkeypatch, None, **kw)
+        if env == "FINETRAINERS_FLASH_SKEW":
+            # Identical arithmetic, reordered across iterations: bit-exact.
+            np.testing.assert_array_equal(out, ref_out)
+        else:
+            # Two-level rounds differently (exp2 vs local max, then a separate
+            # beta multiply): equivalent within float ulps, not bit-exact.
+            np.testing.assert_allclose(out, ref_out, atol=1e-6)
+        atol = 1e-6 if env == "FINETRAINERS_FLASH_SKEW" else 5e-6
+        np.testing.assert_allclose(grad, ref_grad, atol=atol)
+
+    def test_skew_rope_and_segments(self, monkeypatch):
+        from finetrainers_tpu.ops.flash_attention import flash_attention
+
+        rng = np.random.RandomState(3)
+        B, S, N, H = 2, 40, 3, 64
+        q = jnp.asarray(rng.randn(B, S, N, H), jnp.float32)
+        k = jnp.asarray(rng.randn(B, S, N, H), jnp.float32)
+        v = jnp.asarray(rng.randn(B, S, N, H), jnp.float32)
+        cos = jnp.asarray(rng.randn(S, H), jnp.float32)
+        sin = jnp.asarray(rng.randn(S, H), jnp.float32)
+        seg = jnp.asarray(rng.randint(0, 3, (B, S)), jnp.int32)
+
+        def run():
+            a = flash_attention(q, k, v, block_q=16, block_kv=16,
+                                rope_cos=cos, rope_sin=sin)
+            b = flash_attention(q, k, v, block_q=16, block_kv=16,
+                                q_segment_ids=seg, kv_segment_ids=seg)
+            return np.asarray(a), np.asarray(b)
+
+        monkeypatch.setenv("FINETRAINERS_FLASH_SKEW", "1")
+        a1, b1 = run()
+        monkeypatch.delenv("FINETRAINERS_FLASH_SKEW")
+        a0, b0 = run()
+        np.testing.assert_array_equal(a1, a0)
+        np.testing.assert_array_equal(b1, b0)

@@ -153,6 +153,75 @@ def _v5b(inputs):
                            rope_cos=cos, rope_sin=sin)
 
 
+def _set_fwd_experiments(skew="0", twolevel="0"):
+    os.environ["FINETRAINERS_FLASH_SKEW"] = skew
+    os.environ["FINETRAINERS_FLASH_TWOLEVEL"] = twolevel
+
+
+@variant("own_skew_attn_only")  # skewed fwd (VPU/MXU overlap), straight bwd
+def _vs0(inputs):
+    q, k, v, *_ = inputs
+    _set_fwd_experiments(skew="1")
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v)
+
+
+@variant("own_skew_fused_rope")  # skewed fwd with in-kernel RoPE
+def _vs1(inputs):
+    q, k, v, cos, sin, sq, sk = inputs
+    from finetrainers_tpu.ops.flash_attention import flash_attention
+
+    _set_fwd_experiments(skew="1")
+    qn = rms_norm(q, sq).reshape(B, S, N, H)
+    kn = rms_norm(k, sk).reshape(B, S, N, H)
+    return flash_attention(qn, kn, v, block_q=896, block_kv=896,
+                           rope_cos=cos, rope_sin=sin)
+
+
+@variant("own_skew_fwd_only", fwd_only=True)
+def _vs2(inputs):
+    q, k, v, *_ = inputs
+    _set_fwd_experiments(skew="1")
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v)
+
+
+@variant("own_twolevel_fwd_only", fwd_only=True)  # block-local max softmax
+def _vt0(inputs):
+    q, k, v, *_ = inputs
+    _set_fwd_experiments(twolevel="1")
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v)
+
+
+@variant("own_twolevel_fused_rope")
+def _vt1(inputs):
+    q, k, v, cos, sin, sq, sk = inputs
+    from finetrainers_tpu.ops.flash_attention import flash_attention
+
+    _set_fwd_experiments(twolevel="1")
+    qn = rms_norm(q, sq).reshape(B, S, N, H)
+    kn = rms_norm(k, sk).reshape(B, S, N, H)
+    return flash_attention(qn, kn, v, block_q=896, block_kv=896,
+                           rope_cos=cos, rope_sin=sin)
+
+
+@variant("own_baseline_fwd_only", fwd_only=True)  # straight kernel, env reset
+def _vb0(inputs):
+    q, k, v, *_ = inputs
+    _set_fwd_experiments()
+    return own_flash(q.reshape(B, S, N, H), k.reshape(B, S, N, H), v)
+
+
+@variant("own_baseline_fused_rope")  # straight kernel, env reset
+def _vb1(inputs):
+    q, k, v, cos, sin, sq, sk = inputs
+    from finetrainers_tpu.ops.flash_attention import flash_attention
+
+    _set_fwd_experiments()
+    qn = rms_norm(q, sq).reshape(B, S, N, H)
+    kn = rms_norm(k, sk).reshape(B, S, N, H)
+    return flash_attention(qn, kn, v, block_q=896, block_kv=896,
+                           rope_cos=cos, rope_sin=sin)
+
+
 @variant("prep_only")  # norm+rope, no attention
 def _v4(inputs):
     q, k, v, cos, sin, sq, sk = inputs
