@@ -50,9 +50,14 @@ def split_params(params, mask):
 
 
 def merge_params(trainable, frozen):
-    return jax.tree_util.tree_map(
-        lambda t, f: t if t is not None else f, trainable, frozen, is_leaf=lambda x: x is None
-    )
+    """Union of the split trees. A dict-walk rather than tree_map: int8 frozen
+    storage (utils/int8.py) adds `kernel_qscale` sidecar leaves to the frozen
+    tree with no trainable counterpart, so the two treedefs may differ."""
+    if isinstance(trainable, dict) or isinstance(frozen, dict):
+        t = trainable if isinstance(trainable, dict) else {}
+        f = frozen if isinstance(frozen, dict) else {}
+        return {k: merge_params(t.get(k), f.get(k)) for k in {**f, **t}}
+    return trainable if trainable is not None else frozen
 
 
 def extract_lora_state_dict(params) -> Dict[str, np.ndarray]:

@@ -51,7 +51,18 @@ class LoRADense(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (in_features, self.features), self.param_dtype)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if kernel.dtype == jnp.int8:
+            # Frozen weight quantized by utils.int8.apply_int8_storage: the
+            # per-output-channel scales ride a `kernel_qscale` sibling leaf
+            # (extra params entries are ignored by flax's scope lookup, so the
+            # sidecar is invisible to every non-quantized path), and both the
+            # forward and dx matmuls run the 2x-rate int8 MXU path.
+            from ..ops.int8_linear import int8_linear
+
+            sw = self.get_variable("params", "kernel_qscale")
+            y = int8_linear(x.astype(self.dtype), kernel, sw)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
@@ -88,6 +99,13 @@ class LoRAProjParams(nn.Module):
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", self.kernel_init, (self.in_features, self.features), self.param_dtype)
+        if kernel.dtype == jnp.int8:
+            # Fused consumers concatenate raw kernels into one matmul; an int8
+            # leaf there would be read as raw quantized integers. Dequantize
+            # with the sidecar scale — under int8 storage the fused path gets
+            # the fp8-style memory benefit, not the int8-MXU compute path.
+            sw = self.get_variable("params", "kernel_qscale")
+            kernel = kernel.astype(jnp.float32) * sw[None, :]
         bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)

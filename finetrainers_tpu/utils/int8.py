@@ -1,0 +1,76 @@
+"""int8 frozen-weight storage: the 2x-MXU-rate sibling of fp8 layerwise storage.
+
+`apply_int8_storage` rewrites a FROZEN param tree in place of
+`fp8.apply_layerwise_storage_dtype`: every eligible 2D Dense kernel becomes an
+int8 tensor plus a `kernel_qscale` sibling (f32 per-output-channel symmetric
+scales). `models.layers.LoRADense` detects the int8 dtype at trace time and
+routes through `ops.int8_linear` (dynamic per-row activation quantization,
+int8 MXU matmuls in forward AND input-gradient). Skip patterns match the fp8
+path (embeddings, norms, in/out projections stay high precision — the
+reference's layerwise_upcasting_skip_modules_pattern, args.py).
+
+Memory: int8 weights are the same size as fp8 but the compute runs the int8
+MXU path (measured 214 vs 139 TFLOP/s at the CogView4 ff1 shape,
+tools/int8_bench.py / docs/perf.md round 5). Quality: ~1% relative error per
+matmul on the frozen base — the same order as fp8-e4m3 storage; the LoRA
+branch and all trainable math stay full precision. Opt-in.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from .fp8 import DEFAULT_SKIP_PATTERNS
+
+
+QSCALE_SUFFIX = "_qscale"
+
+
+def apply_int8_storage(
+    params,
+    skip_patterns: Sequence[str] = tuple(DEFAULT_SKIP_PATTERNS),
+):
+    """Quantize eligible 2D `kernel` leaves to int8 + `kernel_qscale` siblings.
+
+    Returns a NEW tree (dicts rebuilt; unquantized leaves shared)."""
+    from ..ops.int8_linear import quantize_weight
+
+    def _walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            child_path = path + [name]
+            if isinstance(child, dict):
+                out[name] = _walk(child, child_path)
+                continue
+            path_s = ".".join(str(p) for p in child_path)
+            skip = any(
+                re.search(p, part) for p in skip_patterns for part in path_s.split(".")
+            )
+            if (
+                not skip
+                and name == "kernel"
+                and getattr(child, "ndim", 0) == 2
+                and child.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+            ):
+                wq, sw = quantize_weight(child)
+                out[name] = wq
+                out[name + QSCALE_SUFFIX] = sw
+            else:
+                out[name] = child
+        return out
+
+    return _walk(params, [])
+
+
+def count_int8_bytes(params) -> int:
+    import jax
+
+    return sum(
+        x.size for x in jax.tree_util.tree_leaves(params)
+        if x.dtype == jnp.int8
+    )

@@ -383,12 +383,36 @@ def main() -> None:
         if s is not None else None,
         frozen_shapes, is_leaf=lambda x: x is None,
     )
-    if os.environ.get("BENCH_FP8", "1") == "1":
-        template = apply_layerwise_storage_dtype(template)
-    frozen = jax.tree_util.tree_map(
-        lambda s, t: jnp.zeros(s.shape, t.dtype) if s is not None else None,
-        frozen_shapes, template, is_leaf=lambda x: x is None,
-    )
+    if os.environ.get("BENCH_INT8", "0") == "1":
+        # int8 frozen-weight MXU path (round-5 experiment): the transform adds
+        # kernel_qscale sidecar leaves, so materialize by walking the template
+        # dict (shapes tree lacks the sidecars; qscale shape = features).
+        from finetrainers_tpu.utils.int8 import QSCALE_SUFFIX, apply_int8_storage
+
+        template = apply_int8_storage(template)
+
+        def _mat(shapes_node, tmpl_node):
+            if not isinstance(tmpl_node, dict):
+                if tmpl_node is None or shapes_node is None:
+                    return None
+                return jnp.zeros(shapes_node.shape, tmpl_node.dtype)
+            out = {}
+            for name, t in tmpl_node.items():
+                if name.endswith(QSCALE_SUFFIX):
+                    base = shapes_node[name[: -len(QSCALE_SUFFIX)]]
+                    out[name] = jnp.full((base.shape[1],), 1e-8, jnp.float32)
+                else:
+                    out[name] = _mat(shapes_node.get(name) if isinstance(shapes_node, dict) else None, t)
+            return out
+
+        frozen = _mat(frozen_shapes, template)
+    else:
+        if os.environ.get("BENCH_FP8", "1") == "1":
+            template = apply_layerwise_storage_dtype(template)
+        frozen = jax.tree_util.tree_map(
+            lambda s, t: jnp.zeros(s.shape, t.dtype) if s is not None else None,
+            frozen_shapes, template, is_leaf=lambda x: x is None,
+        )
     del template
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))
@@ -460,11 +484,17 @@ def main() -> None:
     trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, 0))
     _ = np.asarray(loss)
     jax.block_until_ready(jax.random.fold_in(rng, 1))
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, i + 1))
-    _ = np.asarray(loss)
-    elapsed = (time.perf_counter() - t0) / TIMED_STEPS
+    # BENCH_PROFILE=<dir>: capture an xplane trace of the timed steps; analyze
+    # with `python tools/profile_step.py --analyze-only --out <dir>`.
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    import contextlib
+    prof_ctx = jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    with prof_ctx:
+        t0 = time.perf_counter()
+        for i in range(TIMED_STEPS):
+            trainable, opt_state, loss = step(trainable, frozen, opt_state, jax.random.fold_in(rng, i + 1))
+        _ = np.asarray(loss)
+        elapsed = (time.perf_counter() - t0) / TIMED_STEPS
 
     remat_factor = {"full": 1.0, "block_skip": 1.0, "ops": 0.0, "ops_attn": 0.4, "ops_narrow": 0.15, None: 0.0}[checkpoint]
     tflops = flops_fn(remat_factor) / elapsed / 1e12
