@@ -217,18 +217,42 @@ def main() -> None:
         if s is not None else None,
         frozen_shapes, is_leaf=lambda x: x is None,
     )
-    if os.environ.get("BENCH_FP8") == "1":
-        # fp8 frozen-weight storage — the reference's own LoRA headline
-        # conditions (README footnotes: FP8 weights + grad ckpt + precompute).
-        # Halves frozen-weight HBM AND per-step weight DMA (read in fwd + dgrad)
-        # when XLA fuses the upcast into the consuming matmuls.
-        from finetrainers_tpu.utils.fp8 import apply_layerwise_storage_dtype
+    if os.environ.get("BENCH_INT8") == "1":
+        # int8 frozen-weight MXU compute path (opt-in, docs/perf.md round 5).
+        # The transform adds kernel_qscale sidecar leaves, so materialize by
+        # walking the template dict (qscale shape = features).
+        from finetrainers_tpu.utils.int8 import QSCALE_SUFFIX, apply_int8_storage
 
-        template = apply_layerwise_storage_dtype(template)
-    frozen = jax.tree_util.tree_map(
-        lambda s, t: jnp.zeros(s.shape, t.dtype) if s is not None else None,
-        frozen_shapes, template, is_leaf=lambda x: x is None,
-    )
+        template = apply_int8_storage(template)
+
+        def _mat(shapes_node, tmpl_node):
+            if not isinstance(tmpl_node, dict):
+                if tmpl_node is None or shapes_node is None:
+                    return None
+                return jnp.zeros(shapes_node.shape, tmpl_node.dtype)
+            out = {}
+            for name, t in tmpl_node.items():
+                if name.endswith(QSCALE_SUFFIX):
+                    base = shapes_node[name[: -len(QSCALE_SUFFIX)]]
+                    out[name] = jnp.full((base.shape[1],), 1e-8, jnp.float32)
+                else:
+                    out[name] = _mat(shapes_node.get(name) if isinstance(shapes_node, dict) else None, t)
+            return out
+
+        frozen = _mat(frozen_shapes, template)
+    else:
+        if os.environ.get("BENCH_FP8") == "1":
+            # fp8 frozen-weight storage — the reference's own LoRA headline
+            # conditions (README footnotes: FP8 weights + grad ckpt + precompute).
+            # Halves frozen-weight HBM AND per-step weight DMA (read in fwd + dgrad)
+            # when XLA fuses the upcast into the consuming matmuls.
+            from finetrainers_tpu.utils.fp8 import apply_layerwise_storage_dtype
+
+            template = apply_layerwise_storage_dtype(template)
+        frozen = jax.tree_util.tree_map(
+            lambda s, t: jnp.zeros(s.shape, t.dtype) if s is not None else None,
+            frozen_shapes, template, is_leaf=lambda x: x is None,
+        )
     del template
 
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4))

@@ -48,6 +48,11 @@ _DTYPE_MAP = {
     "fp32": jnp.float32,
     "float8_e4m3fn": jnp.float8_e4m3fn,
     "float8_e5m2": jnp.float8_e5m2,
+    # Beyond-reference: int8 frozen-weight storage ALSO moves the frozen
+    # matmuls (fwd + dx) onto the 2x-rate int8 MXU path via ops/int8_linear
+    # (per-output-channel weight scales, dynamic per-row activation
+    # quantization; docs/perf.md round 5).
+    "int8": jnp.int8,
 }
 
 
@@ -371,7 +376,9 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--layerwise_upcasting_modules", type=str, default=[], nargs="+", choices=["transformer"])
     parser.add_argument(
         "--layerwise_upcasting_storage_dtype", type=str, default="float8_e4m3fn",
-        choices=["float8_e4m3fn", "float8_e5m2"],
+        # Superset of the reference's choices: "int8" additionally switches the
+        # frozen matmuls to the int8 MXU compute path (see _DTYPE_MAP note).
+        choices=["float8_e4m3fn", "float8_e5m2", "int8"],
     )
     parser.add_argument(
         "--layerwise_upcasting_skip_modules_pattern", type=str,

@@ -129,15 +129,30 @@ class SFTTrainer(Trainer):
 
         # FP8 layerwise weight storage (reference --layerwise_upcasting_modules):
         # frozen weights stored as fp8 in HBM; upcast fuses into consuming matmuls.
+        applied_int8 = False
         if "transformer" in (getattr(self.args, "layerwise_upcasting_modules", None) or []):
-            from ...utils.fp8 import apply_layerwise_storage_dtype
+            storage_dtype = self.args.layerwise_upcasting_storage_dtype
+            if storage_dtype == jnp.int8:
+                applied_int8 = True
+                # Beyond-reference: int8 storage also moves the frozen matmuls
+                # onto the 2x-rate int8 MXU path (ops/int8_linear; LoRADense
+                # routes on the kernel dtype). Same skip patterns as fp8.
+                from ...utils.int8 import apply_int8_storage
 
-            frozen = apply_layerwise_storage_dtype(
-                frozen,
-                storage_dtype=self.args.layerwise_upcasting_storage_dtype,
-                skip_patterns=self.args.layerwise_upcasting_skip_modules_pattern,
-            )
-            logger.info("Applied fp8 layerwise weight storage to frozen transformer params")
+                frozen = apply_int8_storage(
+                    frozen,
+                    skip_patterns=self.args.layerwise_upcasting_skip_modules_pattern,
+                )
+                logger.info("Applied int8 weight storage + MXU compute path to frozen transformer params")
+            else:
+                from ...utils.fp8 import apply_layerwise_storage_dtype
+
+                frozen = apply_layerwise_storage_dtype(
+                    frozen,
+                    storage_dtype=storage_dtype,
+                    skip_patterns=self.args.layerwise_upcasting_skip_modules_pattern,
+                )
+                logger.info("Applied fp8 layerwise weight storage to frozen transformer params")
 
         # Declarative sharding: FSDP dim inference + per-model TP rules.
         shardings = make_param_shardings(
@@ -146,6 +161,25 @@ class SFTTrainer(Trainer):
         self._param_shardings = shardings
         t_shard = jax.tree_util.tree_map(lambda x, m, s: s if m else None, params, mask, shardings)
         f_shard = jax.tree_util.tree_map(lambda x, m, s: None if m else s, params, mask, shardings)
+        if applied_int8:
+            # int8 storage added kernel_qscale sidecar leaves to `frozen` that
+            # the pre-transform sharding tree lacks; scales are tiny 1D rows —
+            # replicate them.
+            rep = jax.sharding.NamedSharding(
+                self.mesh_env.mesh, jax.sharding.PartitionSpec()
+            )
+
+            def _with_sidecars(fr, sh):
+                if not isinstance(fr, dict):
+                    return sh
+                sh = sh if isinstance(sh, dict) else {}
+                return {
+                    k: (rep if k.endswith("_qscale") and k not in sh
+                        else _with_sidecars(v, sh.get(k)))
+                    for k, v in fr.items()
+                }
+
+            f_shard = _with_sidecars(frozen, f_shard)
         self._t_shard = t_shard
         self._trainable = shard_pytree(
             jax.tree_util.tree_map(lambda x: x, trainable),

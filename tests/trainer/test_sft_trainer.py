@@ -342,6 +342,20 @@ class TestFP8Storage:
         )
         assert (tmp_path / "checkpoints").exists()
 
+    def test_int8_storage_training(self, tmp_path, tiny_dataset):
+        """--layerwise_upcasting_storage_dtype int8 (beyond-reference): frozen
+        kernels stored int8 with qscale sidecars, frozen matmuls on the int8
+        path (ops/int8_linear), LoRA still training e2e under dp_shard."""
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+             "--batch_size", "1", "--dp_shards", "8",
+             "--layerwise_upcasting_modules", "transformer",
+             "--layerwise_upcasting_storage_dtype", "int8"],
+            train_steps=3,
+        )
+        assert (tmp_path / "checkpoints").exists()
+
     def test_fp8_cast_skips_norms_and_embeds(self):
         import jax.numpy as jnp
         from finetrainers_tpu.utils.fp8 import apply_layerwise_storage_dtype
