@@ -334,6 +334,160 @@ def _fwd_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse_row, lse_ref.shape[2:]).astype(lse_ref.dtype)
 
 
+def _fwd_kernel_twopass(
+    kv_lens_ref,  # scalar prefetch: (B,) int32
+    blockmap_ref,  # scalar prefetch: unused here (no dense-mask support)
+    q_ref,  # (1, 1, bq, H)
+    k_ref,  # (1, 1, bkv, H) — tile (j % nkv): each pass sweeps all kv tiles
+    v_ref,  # (1, 1, bkv, 128|H) — tile 0 in pass A (pinned, one fetch), j-nkv in pass B
+    *rest,
+    scale: float,
+    has_segments: bool,
+    has_rope: bool,
+    has_kv_lens: bool,
+    cache_rope: bool,
+    fuse_rowsum: bool,
+    block_q: int,
+    block_kv: int,
+    q_seq_len: int,
+    kv_seq_len: int,
+):
+    """Two-pass (max-then-accumulate) forward — the recurrence-free experiment.
+
+    The online-softmax recurrence serializes tiles: tile j's exp2 waits on the
+    running max from tile j-1, and every tile pays an alpha-rescale sweep of
+    the accumulator. Here the kv grid runs 2*nkv iterations per q row: pass A
+    (j < nkv) computes s = q@kT and ONLY tracks the row max; pass B recomputes
+    s against the now-FINAL max — p = exp2(s - m) needs no rescale, acc and l
+    accumulate associatively, and nothing carries a cross-tile serial chain,
+    so Mosaic can schedule each tile's VPU sweep against any other tile's MXU
+    work. Cost: +50% score matmuls (the MXU has headroom in the VPU-bound
+    regimes this targets) and a second K read per tile (hidden by the
+    pipeline; with cache_rope the rotated K comes from VMEM, so pass B pays
+    no HBM K traffic at all). Numerics: identical quantities to the straight
+    kernel up to f32 summation order.
+
+    Causal/dense-mask block skipping stays on the straight kernel."""
+    rest = list(rest)
+    q_seg_ref = kv_seg_ref = None
+    cos_q_ref = sin_q_ref = cos_k_ref = sin_k_ref = None
+    if has_segments:
+        q_seg_ref, kv_seg_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if has_rope:
+        cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref = rest[:4]
+        rest = rest[4:]
+    if cache_rope:
+        *rest, qrot_scr, krot_scr = rest
+    if fuse_rowsum:
+        o_ref, lse_ref, m_scr, acc_scr = rest
+        l_scr = None
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    j = pl.program_id(3)
+    num_kv = pl.num_programs(3) // 2
+    kj = jnp.where(j < num_kv, j, j - num_kv)
+    masked = has_kv_lens or has_segments
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+
+    @pl.when(j == num_kv)
+    def _init_acc():
+        if l_scr is not None:
+            l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qscale = scale * _LOG2E
+
+    if cache_rope:
+        @pl.when(j == 0)
+        def _rot_q():
+            qr = _rope_fwd(q_ref[0, 0].astype(jnp.float32), cos_q_ref[0], sin_q_ref[0])
+            qrot_scr[:] = (qr * qscale).astype(qrot_scr.dtype)
+
+        @pl.when(jnp.logical_and(qi == 0, j < num_kv))
+        def _rot_k():
+            kr = _rope_fwd(k_ref[0, 0].astype(jnp.float32), cos_k_ref[0], sin_k_ref[0])
+            krot_scr[pl.ds(j * block_kv, block_kv), :] = kr.astype(krot_scr.dtype)
+
+    kv_len = kv_lens_ref[b]
+
+    def _scores():
+        if cache_rope:
+            q = qrot_scr[:]
+            k = krot_scr[pl.ds(kj * block_kv, block_kv), :]
+        else:
+            q = q_ref[0, 0]
+            k = k_ref[0, 0]
+            if has_rope:
+                q = (_rope_fwd(q.astype(jnp.float32), cos_q_ref[0], sin_q_ref[0]) * qscale).astype(q.dtype)
+                k = _rope_fwd(k.astype(jnp.float32), cos_k_ref[0], sin_k_ref[0]).astype(k.dtype)
+            else:
+                q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mask = None
+        if has_kv_lens:
+            col = kj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = col < kv_len
+        if q_seg_ref is not None:
+            seg_q = q_seg_ref[0, :, :1]
+            seg_kv = kv_seg_ref[0, :1, :]
+            sm = seg_q == seg_kv
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        return s, mask
+
+    @pl.when(j < num_kv)
+    def _pass_max():
+        s, _ = _scores()
+        m_scr[:] = jnp.maximum(m_scr[:], jnp.max(s, axis=1, keepdims=True))
+
+    @pl.when(j >= num_kv)
+    def _pass_accumulate():
+        s, mask = _scores()
+        m = m_scr[:, :1]  # final row max — no rescale anywhere below
+        v = v_ref[0, 0]
+        if fuse_rowsum:
+            p = jnp.exp2((s - m).astype(v.dtype))
+            if masked:
+                # Fully-invalid rows have m = _NEG_INF -> p = exp2(0) = 1: re-mask.
+                p = jnp.where(mask, p, jnp.zeros_like(p)) if mask is not None else p
+            acc_scr[:] += jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        else:
+            p = jnp.exp2(s - m)
+            if masked and mask is not None:
+                p = jnp.where(mask, p, 0.0)
+            l_scr[:] = l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[:] += jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(j == 2 * num_kv - 1)
+    def _emit():
+        if fuse_rowsum:
+            head_dim = o_ref.shape[-1]
+            l = acc_scr[:, head_dim:head_dim + 1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = (acc_scr[:, :head_dim] / l_safe).astype(o_ref.dtype)
+        else:
+            l = l_scr[:, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:, :1] * _LN2 + jnp.log(l_safe)
+        lse_row = jax.lax.transpose(lse, (1, 0))
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row, lse_ref.shape[2:]).astype(lse_ref.dtype)
+
+
 def _fwd_kernel_skew(
     kv_lens_ref,  # scalar prefetch: (B,) int32
     blockmap_ref,  # scalar prefetch: unused here (no dense-mask support)
@@ -571,12 +725,23 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         os.environ.get("FINETRAINERS_FLASH_SKEW", "0") == "1"
         and not causal and not has_mask and not has_rope
     )
-    grid = (batch, num_heads, q_pad // block_q, num_kv_blocks + (1 if use_skew else 0))
-    if use_skew:
+    # Two-pass (max-then-accumulate) forward: recurrence-free softmax at the
+    # cost of +50% score matmuls. Opt-in experiment; see _fwd_kernel_twopass.
+    use_twopass = (
+        os.environ.get("FINETRAINERS_FLASH_TWOPASS", "0") == "1"
+        and not causal and not has_mask and not use_skew
+    )
+    if use_twopass:
+        grid = (batch, num_heads, q_pad // block_q, 2 * num_kv_blocks)
+        kmap = lambda j: jnp.where(j < num_kv_blocks, j, j - num_kv_blocks)  # noqa: E731
+        vmap_ = lambda j: jnp.where(j < num_kv_blocks, 0, j - num_kv_blocks)  # noqa: E731
+    elif use_skew:
+        grid = (batch, num_heads, q_pad // block_q, num_kv_blocks + 1)
         last_kv = num_kv_blocks - 1
         kmap = lambda j: jnp.minimum(j, last_kv)  # noqa: E731
         vmap_ = lambda j: jnp.clip(j - 1, 0, last_kv)  # noqa: E731
     else:
+        grid = (batch, num_heads, q_pad // block_q, num_kv_blocks)
         kmap = vmap_ = lambda j: j  # noqa: E731
 
     # Cache rotated q/k tiles in VMEM scratch when the grid revisits them and
@@ -609,7 +774,21 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         ones_col = jnp.zeros((batch, num_heads, kv_pad, 128 - head_dim), v.dtype)
         ones_col = ones_col.at[..., 0].set(1.0)
         v = jnp.concatenate([v, ones_col], axis=-1)
-    if use_skew:
+    if use_twopass:
+        kernel = functools.partial(
+            _fwd_kernel_twopass,
+            scale=scale,
+            has_segments=has_segments,
+            has_rope=has_rope,
+            has_kv_lens=has_kv_lens,
+            cache_rope=cache_rope,
+            fuse_rowsum=fuse_rowsum,
+            block_q=block_q,
+            block_kv=block_kv,
+            q_seq_len=q_len,
+            kv_seq_len=kv_len,
+        )
+    elif use_skew:
         kernel = functools.partial(
             _fwd_kernel_skew,
             scale=scale,
@@ -666,8 +845,8 @@ def _flash_forward(q, k, v, kv_lens, q_seg, kv_seg, attn_mask, scale, causal, bl
         in_specs += [
             pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (nmap(n), i, 0)),
             pl.BlockSpec((1, block_q, head_dim), lambda b, n, i, j, *_: (nmap(n), i, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), kmap(j), 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, n, i, j, *_: (nmap(n), kmap(j), 0)),
         ]
         operands += [cos_p, sin_p, cos_p, sin_p]
     out, lse = pl.pallas_call(

@@ -109,9 +109,15 @@ class TestForwardKernelVariants:
       matmul issued alongside tile j-1's softmax sweep; +1 drain iteration).
     - FINETRAINERS_FLASH_TWOLEVEL: block-local-max softmax, cross-tile stats
       combined per-row after the P@V matmul.
+    - FINETRAINERS_FLASH_TWOPASS: max pass then accumulate pass against the
+      final max (recurrence-free; +50% score matmuls).
     """
 
-    VARIANTS = ["FINETRAINERS_FLASH_SKEW", "FINETRAINERS_FLASH_TWOLEVEL"]
+    VARIANTS = [
+        "FINETRAINERS_FLASH_SKEW",
+        "FINETRAINERS_FLASH_TWOLEVEL",
+        "FINETRAINERS_FLASH_TWOPASS",
+    ]
 
     def _run(self, monkeypatch, env, H=64, **kw):
         from finetrainers_tpu.ops.flash_attention import flash_attention
@@ -158,7 +164,8 @@ class TestForwardKernelVariants:
         atol = 1e-6 if env == "FINETRAINERS_FLASH_SKEW" else 5e-6
         np.testing.assert_allclose(grad, ref_grad, atol=atol)
 
-    def test_skew_rope_and_segments(self, monkeypatch):
+    @pytest.mark.parametrize("env", ["FINETRAINERS_FLASH_SKEW", "FINETRAINERS_FLASH_TWOPASS"])
+    def test_variant_rope_and_segments(self, monkeypatch, env):
         from finetrainers_tpu.ops.flash_attention import flash_attention
 
         rng = np.random.RandomState(3)
@@ -177,9 +184,17 @@ class TestForwardKernelVariants:
                                 q_segment_ids=seg, kv_segment_ids=seg)
             return np.asarray(a), np.asarray(b)
 
-        monkeypatch.setenv("FINETRAINERS_FLASH_SKEW", "1")
+        monkeypatch.setenv(env, "1")
         a1, b1 = run()
-        monkeypatch.delenv("FINETRAINERS_FLASH_SKEW")
+        monkeypatch.delenv(env)
         a0, b0 = run()
-        np.testing.assert_array_equal(a1, a0)
-        np.testing.assert_array_equal(b1, b0)
+        if env == "FINETRAINERS_FLASH_SKEW":
+            # skew is gated off rope (falls back to the straight kernel) and
+            # bit-exact on segments.
+            np.testing.assert_array_equal(a1, a0)
+            np.testing.assert_array_equal(b1, b0)
+        else:
+            # twopass actually runs on both paths; same quantities, different
+            # f32 summation order (no alpha rescales).
+            np.testing.assert_allclose(a1, a0, atol=2e-6)
+            np.testing.assert_allclose(b1, b0, atol=2e-6)
