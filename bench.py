@@ -234,7 +234,8 @@ def main() -> None:
             for name, t in tmpl_node.items():
                 if name.endswith(QSCALE_SUFFIX):
                     base = shapes_node[name[: -len(QSCALE_SUFFIX)]]
-                    out[name] = jnp.full((base.shape[1],), 1e-8, jnp.float32)
+                    qs = (base.shape[0], base.shape[2]) if len(base.shape) == 3 else (base.shape[1],)
+                    out[name] = jnp.full(qs, 1e-8, jnp.float32)
                 else:
                     out[name] = _mat(shapes_node.get(name) if isinstance(shapes_node, dict) else None, t)
             return out
@@ -375,7 +376,12 @@ def main() -> None:
         "peak_hbm_gb": peak_hbm_gb,
         "remat": checkpoint or "none",
     }
-    _record_last_good(payload)
+    # Only default-config runs refresh the tunnel-flap fallback cache:
+    # experiment knobs (BENCH_INT8/BENCH_FP8/BENCH_REMAT/...) measure variant
+    # configs whose numbers must not masquerade as the flagship gate figure.
+    if not any(os.environ.get(k) for k in
+               ("BENCH_INT8", "BENCH_FP8", "BENCH_REMAT", "BENCH_FUSE_STEPS", "BENCH_FUSE_MODE")):
+        _record_last_good(payload)
     print(json.dumps(payload))
 
 

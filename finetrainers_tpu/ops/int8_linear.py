@@ -63,7 +63,12 @@ def _int8_linear_fwd_math(x, wq, sw):
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * sx * sw).astype(x.dtype)
+    # Dequant epilogue in the OUTPUT dtype: an f32 epilogue materializes a
+    # 2x-size temp per matmul site (283 MB at the CogView4 ff1 shape) which
+    # OOMed the 6B single-chip config; bf16 rounding here is ~0.4% — well
+    # under the ~1% int8 quantization noise itself.
+    out = acc.astype(x.dtype) * sx.astype(x.dtype)
+    return out * sw.astype(x.dtype)
 
 
 def _fwd(x, wq, sw):
@@ -76,13 +81,13 @@ def _bwd(res, dy):
     x_dtype = dy.dtype  # y was emitted in x.dtype, so the cotangent carries it
     # dx = dy @ (wq * sw)^T = (dy * sw) @ wq^T — fold the per-column weight
     # scale into the cotangent (one VPU sweep), then ride the int8 MXU again.
-    dys = dy.astype(jnp.float32) * sw
+    dys = dy * sw.astype(dy.dtype)  # keep the cotangent in bf16 (temp size)
     dq, sdy = quantize_rows(dys)
     acc = jax.lax.dot_general(
         dq, wq, (((dy.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    dx = (acc.astype(jnp.float32) * sdy).astype(x_dtype)
+    dx = acc.astype(x_dtype) * sdy.astype(x_dtype)
     return dx, None, None
 
 

@@ -54,10 +54,18 @@ def apply_int8_storage(
             if (
                 not skip
                 and name == "kernel"
-                and getattr(child, "ndim", 0) == 2
+                # 2D Dense kernels and 3D scan-stacked (L, in, F) block kernels
+                # (use_scan=True layers; flax's nn.scan slices the qscale
+                # sidecar along axis 0 together with the kernel).
+                and getattr(child, "ndim", 0) in (2, 3)
                 and child.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
             ):
-                wq, sw = quantize_weight(child)
+                if child.ndim == 3:
+                    import jax
+
+                    wq, sw = jax.vmap(quantize_weight)(child)
+                else:
+                    wq, sw = quantize_weight(child)
                 out[name] = wq
                 out[name + QSCALE_SUFFIX] = sw
             else:

@@ -92,6 +92,46 @@ class TestInt8Storage:
         assert merged["lora"]["lora_a"].shape == (2, 2)
 
 
+class TestInt8UnderScan:
+    def test_scan_stacked_kernels_quantize_and_slice(self):
+        """use_scan models stack block kernels to (L, in, F); the transform
+        quantizes per (layer, out-channel) and flax's nn.scan slices the
+        (L, F) qscale sidecar along axis 0 together with the kernel."""
+        import flax.linen as nn
+
+        from finetrainers_tpu.models.layers import LoRADense
+
+        class Block(nn.Module):
+            @nn.compact
+            def __call__(self, x, _):
+                return x + LoRADense(16, use_bias=False, name="ff")(x), None
+
+        class Stack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                scanned = nn.scan(
+                    Block, variable_axes={"params": 0},
+                    split_rngs={"params": True}, length=3,
+                )
+                y, _ = scanned(name="blocks")(x, None)
+                return y
+
+        m = Stack()
+        x = jnp.ones((2, 16), jnp.bfloat16)
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        assert p["blocks"]["ff"]["kernel"].shape == (3, 16, 16)
+        y_ref = m.apply({"params": p}, x)
+        q = apply_int8_storage(p, skip_patterns=["nothing_matches"])
+        assert q["blocks"]["ff"]["kernel"].dtype == jnp.int8
+        assert q["blocks"]["ff"]["kernel" + QSCALE_SUFFIX].shape == (3, 16)
+        y_q = m.apply({"params": q}, x)
+        rel = np.abs(np.asarray(y_q, np.float32) - np.asarray(y_ref, np.float32)).max()
+        rel /= np.abs(np.asarray(y_ref, np.float32)).max()
+        assert rel < 0.03
+        g = jax.grad(lambda x: jnp.sum(m.apply({"params": q}, x).astype(jnp.float32) ** 2))(x)
+        assert float(jnp.abs(g).max()) > 0.0
+
+
 class TestLoRADenseInt8:
     def test_int8_kernel_routes_and_lora_grads_flow(self):
         from finetrainers_tpu.models.layers import LoRADense

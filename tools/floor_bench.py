@@ -400,7 +400,8 @@ def main() -> None:
             for name, t in tmpl_node.items():
                 if name.endswith(QSCALE_SUFFIX):
                     base = shapes_node[name[: -len(QSCALE_SUFFIX)]]
-                    out[name] = jnp.full((base.shape[1],), 1e-8, jnp.float32)
+                    qs = (base.shape[0], base.shape[2]) if len(base.shape) == 3 else (base.shape[1],)
+                    out[name] = jnp.full(qs, 1e-8, jnp.float32)
                 else:
                     out[name] = _mat(shapes_node.get(name) if isinstance(shapes_node, dict) else None, t)
             return out
