@@ -56,9 +56,10 @@ def make_cross_inputs():
     return q, k, v, kv_lens
 
 
-def _env(cache_mb=None, twolevel=None):
+def _env(cache_mb=None, twolevel=None, twopass=None):
     os.environ["FINETRAINERS_ROPE_CACHE_MB"] = str(cache_mb if cache_mb is not None else 6)
     os.environ["FINETRAINERS_FLASH_TWOLEVEL"] = "1" if twolevel else "0"
+    os.environ["FINETRAINERS_FLASH_TWOPASS"] = "1" if twopass else "0"
     os.environ["FINETRAINERS_FLASH_SKEW"] = "0"
 
 
@@ -113,6 +114,18 @@ def _v2():
 @variant("self_both")
 def _v3():
     _env(cache_mb=6, twolevel=True)
+    return make_self_inputs(), self_attn
+
+
+@variant("self_twopass")  # recurrence-free max-then-accumulate fwd + rope cache
+def _v3b():
+    _env(cache_mb=6, twopass=True)
+    return make_self_inputs(), self_attn
+
+
+@variant("self_twopass_nocache")
+def _v3c():
+    _env(cache_mb=1, twopass=True)
     return make_self_inputs(), self_attn
 
 
