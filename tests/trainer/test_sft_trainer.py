@@ -342,6 +342,25 @@ class TestFP8Storage:
         )
         assert (tmp_path / "checkpoints").exists()
 
+    def test_int8_storage_loss_decreases(self, tmp_path, tiny_dataset):
+        """Convergence sanity for the int8 frozen-matmul path: the ~1%
+        quantization noise on the frozen base must not stop LoRA training
+        from fitting the tiny dataset (mirrors TestSFTTrainer.test_loss_decreases)."""
+        _run_training(
+            tmp_path, tiny_dataset,
+            ["--training_type", "lora", "--rank", "8", "--lora_alpha", "16",
+             "--batch_size", "1", "--dp_shards", "8", "--lr", "1e-3",
+             "--layerwise_upcasting_modules", "transformer",
+             "--layerwise_upcasting_storage_dtype", "int8"],
+            train_steps=30,
+        )
+        log_file = tmp_path / "logs" / "finetrainers.jsonl"
+        losses = [json.loads(l)["train/global_avg_loss"] for l in log_file.read_text().splitlines()
+                  if "train/global_avg_loss" in l]
+        assert len(losses) >= 20
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), \
+            f"loss did not decrease under int8 storage: {losses[:5]} -> {losses[-5:]}"
+
     def test_int8_storage_training(self, tmp_path, tiny_dataset):
         """--layerwise_upcasting_storage_dtype int8 (beyond-reference): frozen
         kernels stored int8 with qscale sidecars, frozen matmuls on the int8
