@@ -1,4 +1,4 @@
-"""Inference (serving) throughput: the LTX-Video denoise step on one chip.
+"""Inference (serving) throughput: the denoise step on one chip.
 
 Times the jitted classifier-free-guidance denoise step (transformer forward at
 batch 2 + Euler update) at the flagship generation shape — the serving-side
@@ -6,7 +6,10 @@ counterpart of bench.py's training metric. Random weights (zero-egress
 environment); TPU matmul timing is data-independent.
 
 Usage: python tools/denoise_bench.py [--steps N]
-Env:   BENCH_CFG=0 (disable the x2 CFG batch), BENCH_SEQ/BENCH_FRAMES/... via code.
+Env:   BENCH_CFG=0 (disable the x2 CFG batch);
+       BENCH_FAMILY=ltx_video (default) | cogview4_6b (1024x1024 T2I);
+       BENCH_INT8=1 (int8 weights + int8 MXU matmuls — serving-side
+       quantization, docs/perf.md round 5).
 """
 
 from __future__ import annotations
@@ -35,33 +38,95 @@ def main() -> None:
     except Exception:
         pass
 
-    from finetrainers_tpu.models.ltx_video.transformer import LTXVideoTransformer3DModel
-    from finetrainers_tpu.models.ltx_video.base_specification import LTX_TRANSFORMER_CONFIG
-
-    cfg = dict(LTX_TRANSFORMER_CONFIG)
+    family = os.environ.get("BENCH_FAMILY", "ltx_video")
     do_cfg = os.environ.get("BENCH_CFG", "1") == "1"
     B = 2 if do_cfg else 1  # uncond + cond through one forward (diffusers CFG)
-    F, H, W, L = 7, 16, 24, 226  # 49f x 512 x 768 through the LTX VAE -> 2688 tokens
-    S = F * H * W
-    module = LTXVideoTransformer3DModel(**cfg, dtype=jnp.bfloat16, use_scan=True)
 
-    shapes = jax.eval_shape(
-        lambda r: module.init(
-            r, jnp.zeros((B, S, cfg["in_channels"])), jnp.zeros((B, L, cfg["caption_channels"])),
-            jnp.zeros((B,)), num_frames=F, height=H, width=W,
-        )["params"],
-        jax.random.PRNGKey(0),
-    )
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.ndim >= 2 else s.dtype), shapes
-    )
-    ehs = jnp.zeros((B, L, cfg["caption_channels"]), jnp.bfloat16)
+    if family == "cogview4_6b":
+        from finetrainers_tpu.models.cogview4.base_specification import COGVIEW4_TRANSFORMER_CONFIG
+        from finetrainers_tpu.models.cogview4.transformer import CogView4Transformer2DModel
+
+        cfg = dict(COGVIEW4_TRANSFORMER_CONFIG)
+        h_lat, w_lat, L = 128, 128, 224  # 1024x1024 through the 8x KL VAE
+        S = (h_lat // cfg["patch_size"]) * (w_lat // cfg["patch_size"]) + L
+        module = CogView4Transformer2DModel(**cfg, dtype=jnp.bfloat16, use_scan=True)
+        lat_shape = (B, cfg["in_channels"], h_lat, w_lat)
+        ehs = jnp.zeros((B, L, cfg["text_embed_dim"]), jnp.bfloat16)
+        sizes = dict(
+            original_size=jnp.full((B, 2), 1024.0),
+            target_size=jnp.full((B, 2), 1024.0),
+            crop_coords=jnp.zeros((B, 2)),
+        )
+
+        def forward(params, latents, t):
+            return module.apply(
+                {"params": params}, latents.astype(jnp.bfloat16), ehs,
+                jnp.full((B,), t, jnp.float32), **sizes,
+            )
+
+        def init_fn(r):
+            return module.init(
+                r, jnp.zeros(lat_shape), ehs.astype(jnp.float32),
+                jnp.zeros((B,)), **sizes,
+            )["params"]
+    else:
+        from finetrainers_tpu.models.ltx_video.base_specification import LTX_TRANSFORMER_CONFIG
+        from finetrainers_tpu.models.ltx_video.transformer import LTXVideoTransformer3DModel
+
+        cfg = dict(LTX_TRANSFORMER_CONFIG)
+        F, H, W, L = 7, 16, 24, 226  # 49f x 512 x 768 through the LTX VAE -> 2688 tokens
+        S = F * H * W
+        module = LTXVideoTransformer3DModel(**cfg, dtype=jnp.bfloat16, use_scan=True)
+        lat_shape = (B, S, cfg["in_channels"])
+        ehs = jnp.zeros((B, L, cfg["caption_channels"]), jnp.bfloat16)
+
+        def forward(params, latents, t):
+            return module.apply(
+                {"params": params}, latents.astype(jnp.bfloat16), ehs,
+                jnp.full((B,), t, jnp.float32), num_frames=F, height=H, width=W,
+            )
+
+        def init_fn(r):
+            return module.init(
+                r, jnp.zeros(lat_shape), ehs.astype(jnp.float32),
+                jnp.zeros((B,)), num_frames=F, height=H, width=W,
+            )["params"]
+
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    quant = os.environ.get("BENCH_INT8") == "1"
+    if quant:
+        # Serving-side int8 (random-weight timing): materialize the quantized
+        # tree DIRECTLY from a tiny shape template — quantizing a live 12 GB
+        # bf16 tree on a 16 GB chip OOMs on the f32 absmax temporaries.
+        from finetrainers_tpu.utils.int8 import QSCALE_SUFFIX, apply_int8_storage
+
+        template = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((1,) * s.ndim, jnp.bfloat16 if s.ndim >= 2 else s.dtype),
+            shapes,
+        )
+        template = apply_int8_storage(template)
+
+        def _mat(shapes_node, tmpl_node):
+            if not isinstance(tmpl_node, dict):
+                return jnp.zeros(shapes_node.shape, tmpl_node.dtype)
+            out = {}
+            for name, t in tmpl_node.items():
+                if name.endswith(QSCALE_SUFFIX):
+                    base = shapes_node[name[: -len(QSCALE_SUFFIX)]].shape
+                    qs = (base[0], base[2]) if len(base) == 3 else (base[1],)
+                    out[name] = jnp.full(qs, 1e-8, jnp.float32)
+                else:
+                    out[name] = _mat(shapes_node[name], t)
+            return out
+
+        params = _mat(shapes, template)
+    else:
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.ndim >= 2 else s.dtype), shapes
+        )
 
     def denoise_step(params, latents, t, sigma, sigma_next, gs):
-        v = module.apply(
-            {"params": params}, latents.astype(jnp.bfloat16), ehs,
-            jnp.full((B,), t, jnp.float32), num_frames=F, height=H, width=W,
-        )
+        v = forward(params, latents, t)
         if do_cfg:
             uncond, cond = jnp.split(v, 2)
             v = uncond + gs * (cond - uncond)
@@ -69,7 +134,7 @@ def main() -> None:
         return latents + (sigma_next - sigma) * v
 
     step = jax.jit(denoise_step, donate_argnums=(1,))
-    latents = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg["in_channels"]), jnp.float32)
+    latents = jax.random.normal(jax.random.PRNGKey(1), lat_shape, jnp.float32)
 
     # warm up (compile) + warm the fold-free scalar path
     latents = step(params, latents, 999.0, 1.0, 0.98, 5.0)
@@ -83,8 +148,10 @@ def main() -> None:
 
     import json
 
+    shape_tag = "1024x1024" if family == "cogview4_6b" else "49x512x768"
     print(json.dumps({
-        "metric": "denoise_step_ltx_video_49x512x768" + ("_cfg" if do_cfg else ""),
+        "metric": f"denoise_step_{family}_{shape_tag}" + ("_cfg" if do_cfg else "")
+                  + ("_int8" if quant else ""),
         "value": round(ms, 2),
         "unit": "ms/denoise-step",
         "seconds_for_50_steps": round(ms * 50 / 1e3, 2),
