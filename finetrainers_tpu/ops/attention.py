@@ -458,6 +458,28 @@ def _tpu_flash_attention(query, key, value, attn_mask, dropout_p, is_causal, sca
     return jnp.swapaxes(out, 1, 2)
 
 
+def _auto_routes_to_kernel(sq: int, skv: int, nq: int, nkv: int,
+                           has_mask: bool, backend: Optional[str] = None) -> bool:
+    """Pure routing decision for the `auto` provider (unit-testable off-TPU).
+
+    Kernel iff: TPU backend, no dense mask, no GQA (nq == nkv), long q
+    (>= 2048), and either self-attention (skv == sq) or long-q CROSS-attention
+    with kv >= 384 — at the Wan shape (12 heads, 19968 q x 512 text kv) the
+    fused-XLA fallback's f32 score fusions (N*Sq*Skv*4B materialized) cost
+    ~227 ms/step vs ~2.6 ms of MXU floor (xplane, docs/perf.md round-5 Wan
+    breakdown; kernel measured −35% fwd+bwd per block on-chip). Short-kv
+    cross attention (e.g. LTX's 226-token captions) stays on XLA fused,
+    which wins while the whole score tile fits VMEM-resident fusions."""
+    backend = backend if backend is not None else jax.default_backend()
+    return (
+        backend == "tpu"
+        and not has_mask
+        and nq == nkv
+        and sq >= 2048
+        and (skv == sq or skv >= 384)
+    )
+
+
 @_AttentionProviderRegistry.register("auto")
 def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, kv_lens,
                     rope_freqs=None):
@@ -466,23 +488,10 @@ def _auto_attention(query, key, value, attn_mask, dropout_p, is_causal, scale, k
     outright at video scale — and the in-tree pallas kernel at the flagship
     shape: the in-tree dq pass materializes a (B,N,S,block_k) fp32 di broadcast,
     ~300MB at LTX scale), with fused in-kernel RoPE when tables are provided.
-    XLA fused otherwise (short/cross attention, CPU meshes, GQA, dense masks)."""
+    XLA fused otherwise (short/cross attention, CPU meshes, GQA, dense masks).
+    Routing rule: `_auto_routes_to_kernel`."""
     sq, skv = query.shape[1], key.shape[1]
-    use_kernel = (
-        jax.default_backend() == "tpu"
-        and attn_mask is None
-        and query.shape[2] == key.shape[2]
-        and sq >= 2048
-        # Long-q CROSS-attention also routes through the kernel once the f32
-        # score tensor XLA materializes (N*Sq*Skv*4B) stops being cache-sized:
-        # at the Wan shape (12 heads, 19968 q x 512 text kv) the fused-XLA
-        # path's f32 softmax fusions cost ~320 ms/step (xplane, docs/perf.md
-        # round-5 Wan breakdown) vs ~2.6 ms of MXU floor. Short-kv cross
-        # attention (e.g. LTX's 226-token captions) stays on XLA fused, which
-        # wins when the whole score tile fits VMEM-resident fusions.
-        and (skv == sq or skv >= 384)
-    )
-    if use_kernel:
+    if _auto_routes_to_kernel(sq, skv, query.shape[2], key.shape[2], attn_mask is not None):
         from .flash_attention import flash_attention
 
         block = _pick_padded_flash_block(sq)

@@ -457,3 +457,32 @@ class TestIndivisibleSequenceLengths:
         gf = loss("flash")
         for a, b in zip(gr, gf):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3, rtol=1e-2)
+
+
+class TestAutoRouting:
+    """The `auto` provider's kernel-vs-XLA routing is TPU-only at runtime, so
+    the CPU suite can't exercise the dispatch itself — the decision rule is a
+    pure function tested here against every production shape (numerics of the
+    routed kernel are covered on-chip by tools/wan_attn_bench.py check)."""
+
+    def _route(self, sq, skv, nq=12, nkv=12, has_mask=False, backend="tpu"):
+        from finetrainers_tpu.ops.attention import _auto_routes_to_kernel
+
+        return _auto_routes_to_kernel(sq, skv, nq, nkv, has_mask, backend=backend)
+
+    def test_production_shapes(self):
+        assert self._route(2688, 2688)            # LTX self-attention
+        assert not self._route(2688, 226)         # LTX caption cross -> XLA fused
+        assert self._route(19968, 19968)          # Wan self-attention
+        assert self._route(19968, 512)            # Wan text cross -> kernel (round 5)
+        assert not self._route(19968, 257)        # Wan I2V image-KV (short) -> XLA
+        assert self._route(20194, 20194)          # CogVideoX indivisible joint stream
+        assert self._route(4320, 4320)            # CogView4 joint self-attention
+
+    def test_gates(self):
+        assert not self._route(19968, 512, backend="cpu")      # CPU mesh
+        assert not self._route(19968, 512, nq=12, nkv=2)       # GQA -> XLA fused
+        assert not self._route(19968, 19968, has_mask=True)    # dense mask
+        assert not self._route(1024, 1024)                     # short q
+        assert not self._route(19968, 384 - 1)                 # sub-threshold kv
+        assert self._route(2048, 384)                          # boundary inclusive
