@@ -380,7 +380,8 @@ def main() -> None:
     # experiment knobs (BENCH_INT8/BENCH_FP8/BENCH_REMAT/...) measure variant
     # configs whose numbers must not masquerade as the flagship gate figure.
     if not any(os.environ.get(k) for k in
-               ("BENCH_INT8", "BENCH_FP8", "BENCH_REMAT", "BENCH_FUSE_STEPS", "BENCH_FUSE_MODE")):
+               ("BENCH_INT8", "BENCH_FP8", "BENCH_REMAT", "BENCH_FUSE_STEPS",
+                "BENCH_FUSE_MODE", "BENCH_NO_RECORD")):
         _record_last_good(payload)
     print(json.dumps(payload))
 

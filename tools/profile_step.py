@@ -30,6 +30,9 @@ def capture(trace_dir: str, steps: int) -> None:
     # Reuse bench.py's setup by running its main with a profiler hook: simplest
     # is to inline the same step construction here via bench internals.
     os.environ.setdefault("BENCH_TIMED_STEPS", str(steps))
+    # Profiled steps run a few % slow under the trace; don't let them
+    # overwrite the tunnel-flap fallback cache with a degraded figure.
+    os.environ["BENCH_NO_RECORD"] = "1"
     import json as _json
     import io
     import contextlib
