@@ -75,8 +75,13 @@ class TestControlTrainerIntegration:
             # trainer, tests/trainer/test_control_trainer.py).
             ["--dp_shards", "4", "--tp_degree", "2"],
             ["--dp_shards", "2", "--cp_degree", "2", "--tp_degree", "2"],
+            # int8 frozen storage under the control trainer: the shared
+            # _finalize_trainable path must add the qscale sidecars while the
+            # full-rank injection layers stay trainable (round 5).
+            ["--dp_shards", "8", "--layerwise_upcasting_modules", "transformer",
+             "--layerwise_upcasting_storage_dtype", "int8"],
         ],
-        ids=["fsdp8", "fsdp4xtp2", "fsdp2xcp2xtp2"],
+        ids=["fsdp8", "fsdp4xtp2", "fsdp2xcp2xtp2", "fsdp8_int8"],
     )
     def test_control_lora_training(self, tmp_path, mesh_flags):
         import cv2
