@@ -256,7 +256,7 @@ RECIPES = [
                        dataset_type="image", image_resolution_buckets=[[1280, 720]],
                        reshape_mode="bicubic", remove_common_llm_caption_prefixes=True)],
         validation=[vrow(c, video=False, h=1280, w=720) for c in TAROT_CAPS],
-        train_steps=5000, lr="3e-5", rank=32, target=ATTN_TB,
+        train_steps=5000, lr="3e-5", rank=32, target=ATTN_TB, int8=True,
     ),
     dict(
         path="sft/cogview4/the_simpsons", model_name="cogview4",
@@ -266,7 +266,7 @@ RECIPES = [
                        caption_options={"column_names": ["caption"]},
                        reshape_mode="bicubic", remove_common_llm_caption_prefixes=True)],
         validation=[vrow(c, video=False, h=528, w=960) for c in SIMPSONS_CAPS],
-        train_steps=5000, lr="1e-5", rank=128, target=ATTN_TB,
+        train_steps=5000, lr="1e-5", rank=128, target=ATTN_TB, int8=True,
         readme="Webdataset smoke recipe (reference: the_simpsons/README.md): "
                "verifies tar-shard webdataset loading and streaming from the "
                "HF Hub; do not expect meaningful results. Dataset: "
@@ -350,6 +350,12 @@ def main() -> None:
         rel = f"examples/training/{r['path']}"
         sfx = r.get("suffix", "")
         extra = lora_extra(r["rank"], r["rank"], r["target"]) + r.get("control_extra", "")
+        if r.get("int8"):
+            # int8 frozen-weight MXU path: +31% steps/s on CogView4-6B at 72%
+            # MFU-equiv (docs/perf.md round 5); only recipes whose matmul
+            # width benefits opt in.
+            extra += ("  --layerwise_upcasting_modules transformer\n"
+                      "  --layerwise_upcasting_storage_dtype int8\n")
         sh = TRAIN_SH.format(
             num_chips=r.get("num_chips", 8),
             recipe_dir=rel,

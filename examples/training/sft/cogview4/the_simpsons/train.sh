@@ -70,6 +70,8 @@ training_cmd=(
   --rank 128
   --lora_alpha 128
   --target_modules "transformer_blocks.*(to_q|to_k|to_v|to_out.0)"
+  --layerwise_upcasting_modules transformer
+  --layerwise_upcasting_storage_dtype int8
   --gradient_accumulation_steps 1
   --gradient_checkpointing
   --gradient_checkpointing_type ops
