@@ -221,26 +221,9 @@ def main() -> None:
         # int8 frozen-weight MXU compute path (opt-in, docs/perf.md round 5).
         # The transform adds kernel_qscale sidecar leaves, so materialize by
         # walking the template dict (qscale shape = features).
-        from finetrainers_tpu.utils.int8 import QSCALE_SUFFIX, apply_int8_storage
+        from finetrainers_tpu.utils.int8 import apply_int8_storage, materialize_zeros_like
 
-        template = apply_int8_storage(template)
-
-        def _mat(shapes_node, tmpl_node):
-            if not isinstance(tmpl_node, dict):
-                if tmpl_node is None or shapes_node is None:
-                    return None
-                return jnp.zeros(shapes_node.shape, tmpl_node.dtype)
-            out = {}
-            for name, t in tmpl_node.items():
-                if name.endswith(QSCALE_SUFFIX):
-                    base = shapes_node[name[: -len(QSCALE_SUFFIX)]]
-                    qs = (base.shape[0], base.shape[2]) if len(base.shape) == 3 else (base.shape[1],)
-                    out[name] = jnp.full(qs, 1e-8, jnp.float32)
-                else:
-                    out[name] = _mat(shapes_node.get(name) if isinstance(shapes_node, dict) else None, t)
-            return out
-
-        frozen = _mat(frozen_shapes, template)
+        frozen = materialize_zeros_like(frozen_shapes, apply_int8_storage(template))
     else:
         if os.environ.get("BENCH_FP8") == "1":
             # fp8 frozen-weight storage — the reference's own LoRA headline
@@ -377,11 +360,21 @@ def main() -> None:
         "remat": checkpoint or "none",
     }
     # Only default-config runs refresh the tunnel-flap fallback cache:
-    # experiment knobs (BENCH_INT8/BENCH_FP8/BENCH_REMAT/...) measure variant
-    # configs whose numbers must not masquerade as the flagship gate figure.
-    if not any(os.environ.get(k) for k in
-               ("BENCH_INT8", "BENCH_FP8", "BENCH_REMAT", "BENCH_FUSE_STEPS",
-                "BENCH_FUSE_MODE", "BENCH_NO_RECORD")):
+    # experiment knobs measure variant configs whose numbers must not
+    # masquerade as the flagship gate figure. Explicitly-disabled values
+    # (BENCH_FP8=0, BENCH_REMAT=ops — the defaults) still count as default.
+    def _knob_active(name, default_values=("", "0")):
+        return os.environ.get(name, "") not in default_values
+
+    non_default = (
+        _knob_active("BENCH_INT8")
+        or _knob_active("BENCH_FP8")
+        or _knob_active("BENCH_NO_RECORD")
+        or _knob_active("BENCH_FUSE_STEPS", ("", "0", "1"))
+        or _knob_active("BENCH_FUSE_MODE", ("", "none"))
+        or _knob_active("BENCH_REMAT", ("", "ops"))
+    )
+    if not non_default:
         _record_last_good(payload)
     print(json.dumps(payload))
 

@@ -75,6 +75,36 @@ def apply_int8_storage(
     return _walk(params, [])
 
 
+def materialize_zeros_like(shapes, template):
+    """Full-size zeros in the template's (post-transform) dtypes.
+
+    For bench tools that must materialize a quantized frozen tree WITHOUT
+    first building the bf16 original (quantizing 10+ GB live OOMs a 16 GB
+    chip on the f32 absmax temporaries): run `apply_int8_storage` over a
+    (1,)*ndim dummy-template first, then call this with the real
+    ShapeDtypeStruct tree (None placeholders allowed). qscale sidecar shapes
+    derive from the base kernel shape ((L, F) for scan-stacked 3D kernels,
+    (F,) for 2D)."""
+    import jax.numpy as jnp
+
+    def _mat(sn, tn):
+        if not isinstance(tn, dict):
+            if tn is None or sn is None:
+                return None
+            return jnp.zeros(sn.shape, tn.dtype)
+        out = {}
+        for name, t in tn.items():
+            if name.endswith(QSCALE_SUFFIX):
+                base = sn[name[: -len(QSCALE_SUFFIX)]].shape
+                qs = (base[0], base[2]) if len(base) == 3 else (base[1],)
+                out[name] = jnp.full(qs, 1e-8, jnp.float32)
+            else:
+                out[name] = _mat(sn.get(name) if isinstance(sn, dict) else None, t)
+        return out
+
+    return _mat(shapes, template)
+
+
 def count_int8_bytes(params) -> int:
     import jax
 

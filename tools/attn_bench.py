@@ -153,9 +153,10 @@ def _v5b(inputs):
                            rope_cos=cos, rope_sin=sin)
 
 
-def _set_fwd_experiments(skew="0", twolevel="0"):
+def _set_fwd_experiments(skew="0", twolevel="0", twopass="0"):
     os.environ["FINETRAINERS_FLASH_SKEW"] = skew
     os.environ["FINETRAINERS_FLASH_TWOLEVEL"] = twolevel
+    os.environ["FINETRAINERS_FLASH_TWOPASS"] = twopass
 
 
 @variant("own_skew_attn_only")  # skewed fwd (VPU/MXU overlap), straight bwd
@@ -245,6 +246,11 @@ def run(name, fn, inputs):
     """Chained timing: feed dq back in as q so steps are data-dependent, sync
     once with a scalar np.asarray (block_until_ready does NOT sync on the axon
     tunnel; see .claude/skills/verify/SKILL.md)."""
+    # Experiment variants mutate process env; reset so a non-experiment
+    # variant run AFTER one never silently times the wrong kernel. Variants
+    # that want a flag re-set it inside their own body (which runs at trace
+    # time, after this reset).
+    _set_fwd_experiments()
 
     def loss(q, rest):
         out = fn((q, *rest))

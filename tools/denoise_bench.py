@@ -98,28 +98,13 @@ def main() -> None:
         # Serving-side int8 (random-weight timing): materialize the quantized
         # tree DIRECTLY from a tiny shape template — quantizing a live 12 GB
         # bf16 tree on a 16 GB chip OOMs on the f32 absmax temporaries.
-        from finetrainers_tpu.utils.int8 import QSCALE_SUFFIX, apply_int8_storage
+        from finetrainers_tpu.utils.int8 import apply_int8_storage, materialize_zeros_like
 
         template = jax.tree_util.tree_map(
             lambda s: jnp.zeros((1,) * s.ndim, jnp.bfloat16 if s.ndim >= 2 else s.dtype),
             shapes,
         )
-        template = apply_int8_storage(template)
-
-        def _mat(shapes_node, tmpl_node):
-            if not isinstance(tmpl_node, dict):
-                return jnp.zeros(shapes_node.shape, tmpl_node.dtype)
-            out = {}
-            for name, t in tmpl_node.items():
-                if name.endswith(QSCALE_SUFFIX):
-                    base = shapes_node[name[: -len(QSCALE_SUFFIX)]].shape
-                    qs = (base[0], base[2]) if len(base) == 3 else (base[1],)
-                    out[name] = jnp.full(qs, 1e-8, jnp.float32)
-                else:
-                    out[name] = _mat(shapes_node[name], t)
-            return out
-
-        params = _mat(shapes, template)
+        params = materialize_zeros_like(shapes, apply_int8_storage(template))
     else:
         params = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, jnp.bfloat16 if s.ndim >= 2 else s.dtype), shapes

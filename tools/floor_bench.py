@@ -387,26 +387,9 @@ def main() -> None:
         # int8 frozen-weight MXU path (round-5 experiment): the transform adds
         # kernel_qscale sidecar leaves, so materialize by walking the template
         # dict (shapes tree lacks the sidecars; qscale shape = features).
-        from finetrainers_tpu.utils.int8 import QSCALE_SUFFIX, apply_int8_storage
+        from finetrainers_tpu.utils.int8 import apply_int8_storage, materialize_zeros_like
 
-        template = apply_int8_storage(template)
-
-        def _mat(shapes_node, tmpl_node):
-            if not isinstance(tmpl_node, dict):
-                if tmpl_node is None or shapes_node is None:
-                    return None
-                return jnp.zeros(shapes_node.shape, tmpl_node.dtype)
-            out = {}
-            for name, t in tmpl_node.items():
-                if name.endswith(QSCALE_SUFFIX):
-                    base = shapes_node[name[: -len(QSCALE_SUFFIX)]]
-                    qs = (base.shape[0], base.shape[2]) if len(base.shape) == 3 else (base.shape[1],)
-                    out[name] = jnp.full(qs, 1e-8, jnp.float32)
-                else:
-                    out[name] = _mat(shapes_node.get(name) if isinstance(shapes_node, dict) else None, t)
-            return out
-
-        frozen = _mat(frozen_shapes, template)
+        frozen = materialize_zeros_like(frozen_shapes, apply_int8_storage(template))
     else:
         if os.environ.get("BENCH_FP8", "1") == "1":
             template = apply_layerwise_storage_dtype(template)
