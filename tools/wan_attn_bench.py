@@ -217,5 +217,37 @@ def main():
             print(f"{name:18s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
+def make_i2v_cross_inputs():
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, S, N, H), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, 257, N, H), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, 257, N, H), jnp.bfloat16)
+    return q, k, v, None
+
+
+def i2v_own(q, k, v, kv_lens):
+    from finetrainers_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, block_q=768, block_kv=128)
+
+
+def i2v_xla(q, k, v, kv_lens):
+    from finetrainers_tpu.ops.attention import _xla_attention
+
+    return _xla_attention(q, k, v, None, 0.0, False, None, None)
+
+
+@variant("i2v_cross_xla")  # Wan I2V image-KV: 19968 q x 257 kv (pre-round-5 route)
+def _v6():
+    _env()
+    return make_i2v_cross_inputs(), i2v_xla
+
+
+@variant("i2v_cross_own")
+def _v7():
+    _env()
+    return make_i2v_cross_inputs(), i2v_own
+
+
 if __name__ == "__main__":
     main()
