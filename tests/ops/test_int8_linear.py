@@ -174,3 +174,38 @@ class TestLoRADenseInt8:
         k_q, *_ = mod.apply({"params": qparams})
         assert k_q.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(k_q), np.asarray(k_ref), atol=0.02)
+
+
+class TestMaterializeZerosLike:
+    def test_template_materialization(self):
+        """Bench tools materialize quantized frozen trees from (1,)*ndim
+        templates (quantizing a live multi-GB tree OOMs); shapes and dtypes
+        must match what apply_int8_storage would have produced."""
+        import jax
+
+        from finetrainers_tpu.utils.int8 import materialize_zeros_like
+
+        shapes = {
+            "blocks": {"ff": {
+                "kernel": jax.ShapeDtypeStruct((3, 16, 64), jnp.float32),
+                "bias": jax.ShapeDtypeStruct((3, 64), jnp.float32),
+            }},
+            "proj": {"kernel": jax.ShapeDtypeStruct((16, 8), jnp.float32)},
+            "lora": None,  # trainable placeholder survives as None
+        }
+        template = {
+            "blocks": {"ff": {
+                "kernel": jnp.zeros((1, 1, 1), jnp.bfloat16),
+                "bias": jnp.zeros((1, 1), jnp.float32),
+            }},
+            "proj": {"kernel": jnp.zeros((1, 1), jnp.bfloat16)},
+            "lora": None,
+        }
+        template = apply_int8_storage(template, skip_patterns=["nothing_matches"])
+        out = materialize_zeros_like(shapes, template)
+        assert out["blocks"]["ff"]["kernel"].shape == (3, 16, 64)
+        assert out["blocks"]["ff"]["kernel"].dtype == jnp.int8
+        assert out["blocks"]["ff"]["kernel" + QSCALE_SUFFIX].shape == (3, 64)
+        assert out["proj"]["kernel" + QSCALE_SUFFIX].shape == (8,)
+        assert out["blocks"]["ff"]["bias"].dtype == jnp.float32
+        assert out["lora"] is None
