@@ -57,6 +57,11 @@ def setup_cogvideox(jnp):
 
     cfg = dict(COGVIDEOX_5B_CONFIG)
     f_lat, h_lat, w_lat, l_ctx = 13, 64, 96, 226  # 49x512x768 through the VAE
+    # BENCH_FRAMES=N (pixel frames): the headline 49f config exceeds one 16 GB
+    # chip (memory-floor table); 17f fits and gives the family an on-chip
+    # throughput row (S = 5*32*48 + 226 = 7906 joint tokens).
+    frames = int(os.environ.get("BENCH_FRAMES", "49"))
+    f_lat = (frames - 1) // 4 + 1
     if TINY:
         cfg.update(num_layers=2, num_attention_heads=4, attention_head_dim=16)
         f_lat, h_lat, w_lat, l_ctx = 2, 8, 8, 16
@@ -94,7 +99,8 @@ def setup_cogvideox(jnp):
         fwd = cfg["num_layers"] * _attn_ff_flops(s, d, LORA_RANK)
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, 18, "49x512x768"
+    return (spec, make_module, init_args, conditions, latent_conditions, flops,
+            18 if frames == 49 else None, f"{frames}x512x768")
 
 
 def setup_hunyuan(jnp):
