@@ -112,6 +112,8 @@ def setup_hunyuan(jnp):
 
     cfg = dict(HUNYUAN_VIDEO_CONFIG)
     f_lat, h_lat, w_lat, l_ctx = 13, 64, 96, 256  # 49x512x768 through the VAE
+    frames = int(os.environ.get("BENCH_FRAMES", "49"))  # see cogvideox note
+    f_lat = (frames - 1) // 4 + 1
     if TINY:
         # head_dim stays 128: the axial RoPE split (16/56/56) is tied to it
         cfg.update(num_layers=1, num_single_layers=2, num_refiner_layers=1,
@@ -158,7 +160,8 @@ def setup_hunyuan(jnp):
         fwd = cfg["num_layers"] * per_dual + cfg["num_single_layers"] * per_single
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, 32, "49x512x768"
+    return (spec, make_module, init_args, conditions, latent_conditions, flops,
+            32 if frames == 49 else None, f"{frames}x512x768")
 
 
 def setup_wan(jnp):
