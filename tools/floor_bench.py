@@ -291,6 +291,10 @@ def setup_flux(jnp):
 
     cfg = dict(FLUX_TRANSFORMER_CONFIG)
     h_lat, w_lat, l_ctx = 128, 128, 512  # 1024x1024 through the 8x KL VAE
+    # BENCH_RES=512: 1024 image tokens — the only Flux shape with a chance of
+    # fitting one 16 GB chip next to ~11.9 GB of fp8 weights.
+    res = int(os.environ.get("BENCH_RES", "1024"))
+    h_lat = w_lat = res // 8
     if TINY:
         cfg.update(num_layers=1, num_single_layers=1, num_attention_heads=2)
         h_lat, w_lat, l_ctx = 8, 8, 16
@@ -333,7 +337,8 @@ def setup_flux(jnp):
         fwd = cfg["num_layers"] * per_dual + cfg["num_single_layers"] * per_single
         return fwd * B * (2.0 + remat_factor)
 
-    return spec, make_module, init_args, conditions, latent_conditions, flops, None, "1024x1024"
+    return (spec, make_module, init_args, conditions, latent_conditions, flops,
+            None, f"{res}x{res}")
 
 
 FAMILIES = {"cogvideox_5b": setup_cogvideox, "hunyuan_video": setup_hunyuan,
