@@ -42,7 +42,28 @@ def main() -> None:
     do_cfg = os.environ.get("BENCH_CFG", "1") == "1"
     B = 2 if do_cfg else 1  # uncond + cond through one forward (diffusers CFG)
 
-    if family == "cogview4_6b":
+    if family == "wan_1_3b":
+        from finetrainers_tpu.models.wan.base_specification import WAN_T2V_1_3B_CONFIG
+        from finetrainers_tpu.models.wan.transformer import WanTransformer3DModel
+
+        cfg = dict(WAN_T2V_1_3B_CONFIG)
+        f_lat, h_lat, w_lat, L = 13, 64, 96, 512  # 49x512x768 -> 19968 tokens
+        S = f_lat * (h_lat // 2) * (w_lat // 2)
+        module = WanTransformer3DModel(**cfg, dtype=jnp.bfloat16, use_scan=True)
+        lat_shape = (B, cfg["in_channels"], f_lat, h_lat, w_lat)
+        ehs = jnp.zeros((B, L, cfg["text_dim"]), jnp.bfloat16)
+
+        def forward(params, latents, t):
+            return module.apply(
+                {"params": params}, latents.astype(jnp.bfloat16), ehs,
+                jnp.full((B,), t, jnp.float32),
+            )
+
+        def init_fn(r):
+            return module.init(
+                r, jnp.zeros(lat_shape), ehs.astype(jnp.float32), jnp.zeros((B,)),
+            )["params"]
+    elif family == "cogview4_6b":
         from finetrainers_tpu.models.cogview4.base_specification import COGVIEW4_TRANSFORMER_CONFIG
         from finetrainers_tpu.models.cogview4.transformer import CogView4Transformer2DModel
 
