@@ -12,11 +12,14 @@ Variants:
   self_ropecache    straight kernel + cached rotated tiles (cap 6 MB default)
   self_twolevel     block-local-max softmax (FINETRAINERS_FLASH_TWOLEVEL=1)
   self_both         rope cache + two-level
+  self_twopass      recurrence-free max-then-accumulate fwd (TWOPASS=1)
   cross_xla         XLA fused cross-attention (the pre-round-5 auto fallback)
   cross_own         Pallas kernel, rectangular blocks (768 q x 512 kv)
+  i2v_cross_xla/own I2V image-KV cross (19968 q x 257 kv) — XLA wins here,
+                    validating the auto provider's >=384 kv cutoff from below
   check             numerics: kernel paths vs math reference on-chip
 
-Usage: python tools/wan_attn_bench.py [variant ...]
+Usage: python tools/wan_attn_bench.py [variant[:fwd] ...]  (:fwd = fwd-only)
 """
 
 from __future__ import annotations
